@@ -1,0 +1,58 @@
+"""Model zoo registry.
+
+The reference resolves model classes dynamically by name via importlib
+(``code/models/model_interface.py:1256-1293``); here the registry is an explicit
+name -> constructor map consumed by the experiment layer and CLI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+
+from transmil_deepgraft_tpu.models.attmil import AttMIL
+from transmil_deepgraft_tpu.models.chowder import Chowder
+from transmil_deepgraft_tpu.models.clam import CLAM_MB, CLAM_SB
+from transmil_deepgraft_tpu.models.dtfd import DTFDMIL
+from transmil_deepgraft_tpu.models.mdmil import MDMIL
+from transmil_deepgraft_tpu.models.transformer_mil import TransformerMIL
+from transmil_deepgraft_tpu.models.transmil import TransMIL, TransMILAttention
+
+MODEL_REGISTRY: dict[str, Callable[..., nn.Module]] = {
+    "TransMIL": TransMIL,
+    "AttMIL": AttMIL,
+    "TransformerMIL": TransformerMIL,
+    "Chowder": Chowder,
+    "CLAM_SB": CLAM_SB,
+    "CLAM_MB": CLAM_MB,
+    "DTFD": DTFDMIL,
+    "DTFDMIL": DTFDMIL,
+    "MDMIL": MDMIL,
+}
+
+
+def create_model(name: str, n_classes: int, in_features: int = 2048, out_features: int = 512, **kwargs: Any) -> nn.Module:
+    """Instantiate a bag-level MIL head by config name (``cfg.Model.name``)."""
+    if name not in MODEL_REGISTRY:
+        raise KeyError(f"unknown model '{name}'; available: {sorted(MODEL_REGISTRY)}")
+    cls = MODEL_REGISTRY[name]
+    common: dict[str, Any] = {"n_classes": n_classes, "in_features": in_features}
+    if name in ("TransMIL", "AttMIL", "TransformerMIL", "MDMIL"):
+        common["out_features"] = out_features
+    return cls(**common, **kwargs)
+
+
+__all__ = [
+    "AttMIL",
+    "Chowder",
+    "CLAM_MB",
+    "CLAM_SB",
+    "DTFDMIL",
+    "MDMIL",
+    "MODEL_REGISTRY",
+    "TransMIL",
+    "TransMILAttention",
+    "TransformerMIL",
+    "create_model",
+]

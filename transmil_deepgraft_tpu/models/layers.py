@@ -1,0 +1,283 @@
+"""Shared flax.linen layers for the MIL model zoo.
+
+- :class:`NystromAttentionLayer` / :class:`TransLayer` - the Nystrom-attention
+  transformer block used by TransMIL/MDMIL/CTMIL (ref ``code/models/TransMIL.py:19-57``;
+  attention math reimplemented from scratch in ``ops/nystrom.py``).
+- :class:`PPEG` - pyramid position encoding generator (ref ``TransMIL.py:60-75``).
+- :class:`SoftmaxAttention` / :class:`FeedForward` / :class:`TransformerBlock` -
+  vanilla pre-norm MHA encoder primitives (ref ``code/models/_transformer.py:6-99``).
+- :func:`make_fc1` - the per-in_features input MLP variants shared by
+  TransMIL/AttMIL/TransformerMIL (ref ``TransMIL.py:100-133``, ``AttMIL.py:56-65``).
+
+Parameter names deliberately mirror the reference module names (``to_qkv``,
+``to_out``, ``res_conv``, ``norm`` ...) so a torch-state-dict -> flax converter is a
+pure name/transpose mapping.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from transmil_deepgraft_tpu.ops.nystrom import (
+    NystromOutput,
+    nystrom_attention,
+    pad_to_landmark_multiple,
+)
+
+
+class NystromAttentionLayer(nn.Module):
+    """Self-attention via Nystrom approximation, matching the reference's external
+    ``nystrom_attention`` dependency (dim 512, 8 heads, dim_head 64, 256 landmarks,
+    6 pinv iterations, depthwise-conv value residual, out-proj dropout 0.7)."""
+
+    dim: int = 512
+    heads: int = 8
+    dim_head: int = 64
+    num_landmarks: int = 256
+    pinv_iterations: int = 6
+    residual: bool = True
+    residual_kernel_size: int = 33
+    dropout: float = 0.7
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        deterministic: bool = True,
+        return_row_index: Optional[int] = None,
+    ) -> tuple[jax.Array, Optional[jax.Array], int]:
+        """x: (B, N, dim). Returns (out (B, N, dim), attn_row, pad).
+
+        ``return_row_index`` indexes the *padded* sequence (front zero-pad to a
+        multiple of num_landmarks); ``attn_row`` is (B, heads, N_padded), the
+        attention distribution of that query over all padded keys.
+        """
+        b, n, _ = x.shape
+        inner = self.heads * self.dim_head
+
+        x_p, pad = pad_to_landmark_multiple(x, self.num_landmarks)
+        np_ = x_p.shape[1]
+
+        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x_p)
+        qkv = qkv.reshape(b, np_, 3, self.heads, self.dim_head)
+        q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # (b, h, np, d)
+
+        result: NystromOutput = nystrom_attention(
+            q,
+            k,
+            v,
+            num_landmarks=self.num_landmarks,
+            pinv_iterations=self.pinv_iterations,
+            return_row_index=return_row_index,
+        )
+        out = result.out  # (b, h, np, d), float32
+
+        if self.residual:
+            # Per-head depthwise conv over the sequence axis, shared across the
+            # head dim's feature columns: torch Conv2d(h, h, (ks, 1), groups=h,
+            # bias=False) on (b, h, n, d). Kernel param shape (ks, heads).
+            ks = self.residual_kernel_size
+            res_kernel = self.param(
+                "res_conv",
+                nn.initializers.lecun_normal(),
+                (ks, self.heads),
+                jnp.float32,
+            )
+            # (b, h, np, d) -> NHWC with heads as channels: (b, np, d, h)
+            v_nhwc = jnp.transpose(v, (0, 2, 3, 1)).astype(jnp.float32)
+            kern = res_kernel[:, None, None, :]  # (ks, 1, 1, heads) HWIO depthwise
+            res = jax.lax.conv_general_dilated(
+                v_nhwc,
+                kern,
+                window_strides=(1, 1),
+                padding=((ks // 2, ks // 2), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.heads,
+            )
+            out = out + jnp.transpose(res, (0, 3, 1, 2))
+
+        out = jnp.moveaxis(out, 1, 2).reshape(b, np_, inner)
+        out = nn.Dense(self.dim, name="to_out")(out)
+        out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+        out = out[:, -n:]  # strip the front pad
+
+        return out, result.cls_row, pad
+
+
+class TransLayer(nn.Module):
+    """Pre-norm residual Nystrom-attention block (ref ``TransMIL.py:19-57``)."""
+
+    dim: int = 512
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        deterministic: bool = True,
+        return_row_index: Optional[int] = None,
+    ) -> tuple[jax.Array, Optional[jax.Array], int]:
+        normed = nn.LayerNorm(name="norm")(x)
+        out, attn_row, pad = NystromAttentionLayer(
+            dim=self.dim,
+            heads=8,
+            dim_head=self.dim // 8,
+            num_landmarks=self.dim // 2,
+            name="attn",
+        )(normed, deterministic=deterministic, return_row_index=return_row_index)
+        return x + out, attn_row, pad
+
+
+class PPEG(nn.Module):
+    """Pyramid Position Encoding Generator (ref ``TransMIL.py:60-75``): the cls
+    token bypasses; feature tokens are reshaped to an H x W grid and get
+    identity + depthwise 7x7 + 5x5 + 3x3 convs summed."""
+
+    dim: int = 512
+
+    @nn.compact
+    def __call__(self, x: jax.Array, h: int, w: int) -> jax.Array:
+        b, n, c = x.shape
+        cls_token, feat = x[:, :1], x[:, 1:]
+        grid = feat.reshape(b, h, w, c)
+        out = grid
+        for ks, name in ((7, "proj"), (5, "proj1"), (3, "proj2")):
+            out = out + nn.Conv(
+                features=self.dim,
+                kernel_size=(ks, ks),
+                padding="SAME",
+                feature_group_count=self.dim,
+                name=name,
+            )(grid)
+        out = out.reshape(b, h * w, c)
+        return jnp.concatenate([cls_token, out], axis=1)
+
+
+class SoftmaxAttention(nn.Module):
+    """Standard multi-head softmax self-attention (ref ``_transformer.py:16-44``)."""
+
+    dim: int = 512
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        b, n, _ = x.shape
+        inner = self.heads * self.dim_head
+        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))
+        scale = self.dim_head ** -0.5
+        logits = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32))
+        out = jnp.moveaxis(out, 1, 2).reshape(b, n, inner).astype(x.dtype)
+        if not (self.heads == 1 and self.dim_head == self.dim):
+            out = nn.Dense(self.dim, name="to_out")(out)
+            out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class FeedForward(nn.Module):
+    """GELU MLP with dropout (ref ``_transformer.py:46-58``)."""
+
+    dim: int = 512
+    hidden_dim: int = 1024
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        x = nn.Dense(self.hidden_dim)(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.dim)(x)
+        x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm MHA + FF residual stack of ``depth`` layers (ref
+    ``TransformerMIL.py:18-32``)."""
+
+    dim: int = 512
+    depth: int = 2
+    heads: int = 8
+    dim_head: int = 64
+    mlp_dim: int = 512
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        for i in range(self.depth):
+            attn_in = nn.LayerNorm(name=f"attn_norm_{i}")(x)
+            x = x + SoftmaxAttention(
+                dim=self.dim,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dropout=self.dropout,
+                name=f"attn_{i}",
+            )(attn_in, deterministic=deterministic)
+            ff_in = nn.LayerNorm(name=f"ff_norm_{i}")(x)
+            x = x + FeedForward(
+                dim=self.dim,
+                hidden_dim=self.mlp_dim,
+                dropout=self.dropout,
+                name=f"ff_{i}",
+            )(ff_in, deterministic=deterministic)
+        return x
+
+
+def make_fc1(
+    in_features: int, out_features: int
+) -> Callable[[jax.Array, bool], jax.Array]:
+    """Input-projection MLP spec per in_features (ref ``TransMIL.py:100-133``).
+
+    Returned callable must be invoked inside an ``nn.compact`` method of a parent
+    module (the Dense/LayerNorm submodules attach to the caller's scope).
+
+    Variants (as in the reference, with the 1024-branch's LayerNorm dims corrected
+    to match its own tensor shapes - the reference declares ``norm_layer(512)``
+    over a 1024-d activation, which cannot execute in torch either):
+      2048: Linear(2048,1024) GELU LN(1024) Linear(1024,512) GELU
+      1024: Linear(1024,1024) GELU Drop(.2) LN(1024) Linear(1024,512) GELU Drop(.6) LN(512)
+      768:  Linear(768,768)  GELU Drop(.6) LN(768)  Linear(768,512)  GELU Drop(.6) LN(512)
+      else: Linear(in,512)   GELU
+    """
+
+    def apply(x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if in_features == 2048:
+            h = nn.Dense(in_features // 2, name="fc1_0")(x)
+            h = nn.gelu(h)
+            h = nn.LayerNorm(name="fc1_norm0")(h)
+            h = nn.Dense(out_features, name="fc1_1")(h)
+            h = nn.gelu(h)
+        elif in_features == 1024:
+            h = nn.Dense(in_features, name="fc1_0")(x)
+            h = nn.gelu(h)
+            h = nn.Dropout(rate=0.2)(h, deterministic=deterministic)
+            h = nn.LayerNorm(name="fc1_norm0")(h)
+            h = nn.Dense(out_features, name="fc1_1")(h)
+            h = nn.gelu(h)
+            h = nn.Dropout(rate=0.6)(h, deterministic=deterministic)
+            h = nn.LayerNorm(name="fc1_norm1")(h)
+        elif in_features == 768:
+            h = nn.Dense(in_features, name="fc1_0")(x)
+            h = nn.gelu(h)
+            h = nn.Dropout(rate=0.6)(h, deterministic=deterministic)
+            h = nn.LayerNorm(name="fc1_norm0")(h)
+            h = nn.Dense(out_features, name="fc1_1")(h)
+            h = nn.gelu(h)
+            h = nn.Dropout(rate=0.6)(h, deterministic=deterministic)
+            h = nn.LayerNorm(name="fc1_norm1")(h)
+        else:
+            h = nn.Dense(out_features, name="fc1_0")(x)
+            h = nn.gelu(h)
+        return h
+
+    return apply
