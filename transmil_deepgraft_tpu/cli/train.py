@@ -1,0 +1,150 @@
+"""CLI driver: ``python -m transmil_deepgraft_tpu.cli.train --stage train --config <yaml>``.
+
+Mirrors the reference's ``code/train.py:68-88`` argparse surface and
+``main()`` dispatch (``:91-327``): parse args -> read YAML -> config surgery
+(task from filename, in_features per extractor) -> build DataModule + model +
+optimizer + Trainer -> run the requested stage. ``--stage test/val`` loads
+checkpoints from the log dir and evaluates.
+
+Extension over the reference: a ``Data.synthetic`` config section runs the whole
+pipeline on generated bags (the reference's sustainability ``CustomImageDataset``
+idea promoted to a first-class data source), so any config is smoke-runnable
+without the DeepGraft cohort on disk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+
+from transmil_deepgraft_tpu.data.datamodule import MILDataModule
+from transmil_deepgraft_tpu.models import create_model
+from transmil_deepgraft_tpu.parallel.mesh import make_mesh
+from transmil_deepgraft_tpu.train.losses import create_loss
+from transmil_deepgraft_tpu.train.optimizers import create_optimizer_from_config
+from transmil_deepgraft_tpu.train.trainer import Trainer, TrainerConfig
+from transmil_deepgraft_tpu.utils.config import finalize_config, read_yaml
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native TransMIL-DeepGraft training")
+    p.add_argument("--stage", default="train", choices=["train", "test", "val", "fine_tune"])
+    p.add_argument("--config", required=True)
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--epoch", default=None)
+    p.add_argument("--loss", default=None)
+    p.add_argument("--fold", type=int, default=None)
+    p.add_argument("--bag_size", type=int, default=None)
+    p.add_argument("--label_file", default=None)
+    p.add_argument("--resume_training", action="store_true")
+    p.add_argument("--fine_tune", action="store_true")
+    p.add_argument("--fast_dev_run", action="store_true")
+    p.add_argument("--log_dir", default=None, help="override derived log path")
+    return p
+
+
+def build(cfg, log_dir: str | None = None):
+    n_classes = int(cfg.Model.n_classes)
+    in_features = int(cfg.Model.in_features or 2048)
+    out_features = int(cfg.Model.out_features or 512)
+    model_name = str(cfg.Model.name)
+
+    synthetic = cfg.Data.synthetic.to_dict() if cfg.Data.synthetic else None
+    if synthetic is not None:
+        synthetic.setdefault("feature_size", in_features)
+
+    dm = MILDataModule(
+        data_dir=str(cfg.Data.data_dir) if cfg.Data.data_dir else None,
+        label_path=str(cfg.Data.label_file) if cfg.Data.label_file else None,
+        n_classes=n_classes,
+        max_bag_size=int(cfg.Data.bag_size or 1000),
+        batch_size=int(cfg.Data.train_dataloader.batch_size or 1),
+        mixup=bool(cfg.Data.mixup),
+        feature_extractor=(
+            f"FEATURES_{str(cfg.Data.feature_extractor).upper()}_{in_features}"
+            if cfg.Data.feature_extractor
+            else None
+        ),
+        slide_patient_path=str(cfg.Data.patient_dict) if cfg.Data.patient_dict else None,
+        seed=int(cfg.General.seed or 2021),
+        synthetic=synthetic,
+        fine_tune=bool(cfg.fine_tune),
+    )
+
+    model = create_model(model_name, n_classes=n_classes, in_features=in_features, out_features=out_features)
+    loss_fn = create_loss(str(cfg.Loss.base_loss or "CrossEntropyLoss"), n_classes)
+
+    grad_acc = int(cfg.General.grad_acc or 1)
+    tx = create_optimizer_from_config(cfg.Optimizer, grad_accum_steps=grad_acc)
+
+    tcfg = TrainerConfig(
+        epochs=int(cfg.General.epochs or 200),
+        patience=int(cfg.General.patience or 50),
+        grad_acc=grad_acc,
+        seed=int(cfg.General.seed or 2021),
+        log_dir=log_dir or str(cfg.log_path or "logs/run"),
+        task=str(cfg.task or "norm_rest"),
+        fast_dev_run=bool(cfg.fast_dev_run),
+    )
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    trainer = Trainer(
+        model, tx, dm,
+        n_classes=n_classes, loss_fn=loss_fn, config=tcfg, mesh=mesh, model_name=model_name,
+    )
+    return trainer
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = make_parser().parse_args(argv)
+    cfg = read_yaml(args.config)
+    cfg = finalize_config(
+        cfg,
+        config_path=args.config,
+        stage=args.stage,
+        fold=args.fold,
+        version=args.version,
+        loss=args.loss,
+        epoch=args.epoch,
+        fine_tune=args.fine_tune or args.stage == "fine_tune",
+        resume_training=args.resume_training,
+        fast_dev_run=args.fast_dev_run,
+        label_file=args.label_file,
+    )
+    if args.bag_size:
+        cfg.Data.bag_size = args.bag_size
+
+    trainer = build(cfg, log_dir=args.log_dir)
+
+    if args.stage in ("train", "fine_tune"):
+        if args.resume_training:
+            last = trainer.ckpts.last_path()
+            if last.exists():
+                trainer.load_checkpoint(last)
+        history = trainer.fit()
+        summary = trainer.test()
+        print(json.dumps({**history, **summary}, default=float))
+        return summary
+
+    # test/val stages: evaluate checkpoints from the log dir (ref train.py:273-327)
+    ckpt_dir = Path(trainer.cfg.log_dir) / "checkpoints"
+    candidates = sorted(ckpt_dir.glob("*.ckpt")) if ckpt_dir.exists() else []
+    if args.epoch is not None and args.epoch != "last":
+        candidates = [c for c in candidates if f"epoch={int(args.epoch):02d}" in c.name]
+    if not candidates:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    results = {}
+    for ckpt in candidates:
+        trainer.load_checkpoint(ckpt)
+        mode = "test" if args.stage == "test" else "val"
+        res = trainer.evaluate(mode, save_results=True, stage_name=f"{mode}_{ckpt.stem}")
+        results[ckpt.name] = {"auroc": res["auroc"], "patient_auroc": res["patient_auroc"]}
+        print(ckpt.name, json.dumps(results[ckpt.name]))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""MILDataModule: dataset selection + batch iterators with static-shape bucketing.
+
+Equivalent of the reference's ``MILDataModule``
+(``code/datasets/data_interface.py:127-309``): picks the dataset class per model/
+backbone, builds train/val/test iterators, applies the imbalanced sampler to
+train/val, and collates bags into batches.
+
+TPU-specific design: every emitted batch has a *static* shape. Train bags are
+already fixed at ``max_bag_size`` (the reference zero-pads the same way); eval
+bags (deterministic 10% draws of varying length) are zero-padded up to the next
+bucket boundary so XLA compiles one program per bucket. Each batch carries the
+real per-slide length so models/metrics can mask if configured. The reference's
+unpadded eval numerics are recovered exactly when ``eval_pad='exact'`` (one
+compile per distinct length; fine for final test runs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Iterator, Sequence
+
+import numpy as np
+
+from transmil_deepgraft_tpu.data.feature_bags import FeatureBagDataset
+from transmil_deepgraft_tpu.data.sampler import ImbalancedSampler
+from transmil_deepgraft_tpu.data.synthetic import SyntheticBagDataset
+from transmil_deepgraft_tpu.ops.padding import DEFAULT_BUCKETS, bucket_for_length
+
+
+@dataclass
+class Batch:
+    bags: np.ndarray  # (B, N_bucket, D) float32
+    labels: np.ndarray  # (B,) int32
+    lengths: np.ndarray  # (B,) int32 real bag lengths before padding
+    names: list[str]
+    patients: list[str]
+    coords: list[np.ndarray]
+
+
+def _pad_to(bag: np.ndarray, n: int) -> np.ndarray:
+    if bag.shape[0] >= n:
+        return bag[:n]
+    pad = np.zeros((n - bag.shape[0], bag.shape[1]), bag.dtype)
+    return np.concatenate([bag, pad], axis=0)
+
+
+def collate(items: Sequence[tuple], eval_pad: str = "bucket", buckets=DEFAULT_BUCKETS) -> Batch:
+    bags = [i[0] for i in items]
+    lengths = np.array([b.shape[0] for b in bags], np.int32)
+    max_len = int(lengths.max())
+    target = max_len if eval_pad == "exact" else bucket_for_length(max_len, buckets)
+    bags = np.stack([_pad_to(b, target) for b in bags]).astype(np.float32)
+    return Batch(
+        bags=bags,
+        labels=np.array([i[1] for i in items], np.int32),
+        lengths=lengths,
+        names=[i[2][0] for i in items],
+        coords=[np.asarray(i[2][1]) for i in items],
+        patients=[i[2][2] for i in items],
+    )
+
+
+class MILDataModule:
+    def __init__(
+        self,
+        data_dir: str | None = None,
+        label_path: str | None = None,
+        *,
+        n_classes: int = 2,
+        max_bag_size: int = 1000,
+        batch_size: int = 1,
+        mixup: bool = False,
+        feature_extractor: str | None = None,
+        slide_patient_path: str | None = None,
+        use_imbalanced_sampler: bool = True,
+        eval_pad: str = "bucket",
+        seed: int = 2021,
+        synthetic: dict | None = None,
+        fine_tune: bool = False,
+    ) -> None:
+        self.data_dir = data_dir
+        self.label_path = label_path
+        self.n_classes = n_classes
+        self.max_bag_size = max_bag_size
+        self.batch_size = batch_size
+        self.mixup = mixup
+        self.feature_extractor = feature_extractor
+        self.slide_patient_path = slide_patient_path
+        self.use_imbalanced_sampler = use_imbalanced_sampler
+        self.eval_pad = eval_pad
+        self.seed = seed
+        self.synthetic = synthetic
+        self.fine_tune = fine_tune
+        self._datasets: dict[str, Any] = {}
+        self._epoch = 0
+
+    # -- dataset construction -------------------------------------------------
+    def _make_dataset(self, mode: str):
+        if self.synthetic is not None:
+            cfg = dict(self.synthetic)
+            n = {"train": cfg.pop("n_train", 32), "val": cfg.pop("n_val", 16), "test": cfg.pop("n_test", 16)}[
+                "train" if mode == "fine_tune" else mode
+            ]
+            seed = {"train": 0, "fine_tune": 0, "val": 1, "test": 2}[mode]
+            ds = SyntheticBagDataset(n_slides=n, n_classes=self.n_classes, seed=seed, **cfg)
+            if mode in ("train", "fine_tune"):
+                return _TrainViewSynthetic(ds, self.max_bag_size, self.mixup)
+            return _EvalViewSynthetic(ds)
+        actual_mode = "fine_tune" if (mode == "train" and self.fine_tune) else mode
+        return FeatureBagDataset(
+            self.data_dir,
+            self.label_path,
+            actual_mode,
+            self.n_classes,
+            slide_patient_path=self.slide_patient_path,
+            max_bag_size=self.max_bag_size,
+            mixup=self.mixup and mode in ("train", "fine_tune"),
+            feature_extractor=self.feature_extractor,
+        )
+
+    def dataset(self, mode: str):
+        if mode not in self._datasets:
+            self._datasets[mode] = self._make_dataset(mode)
+        return self._datasets[mode]
+
+    # -- iterators -------------------------------------------------------------
+    def train_batches(self, epoch: int) -> Iterator[Batch]:
+        ds = self.dataset("train")
+        rng = np.random.default_rng((self.seed, epoch))
+        if self.use_imbalanced_sampler:
+            order = ImbalancedSampler(ds.get_labels(), self.n_classes).sample_epoch(rng)
+        else:
+            order = rng.permutation(len(ds))
+        bs = self.batch_size
+        for start in range(0, len(order) - bs + 1, bs):
+            items = [self._get(ds, int(i), rng) for i in order[start : start + bs]]
+            yield collate(items, eval_pad="exact")  # train bags are already fixed-size
+
+    def eval_batches(self, mode: str, batch_size: int = 1) -> Iterator[Batch]:
+        ds = self.dataset(mode)
+        rng = np.random.default_rng(0)
+        for start in range(0, len(ds), batch_size):
+            items = [self._get(ds, i, rng) for i in range(start, min(start + batch_size, len(ds)))]
+            yield collate(items, eval_pad=self.eval_pad)
+
+    @staticmethod
+    def _get(ds, index: int, rng: np.random.Generator):
+        if hasattr(ds, "get_item"):
+            return ds.get_item(index, rng)
+        return ds[index]
+
+    def steps_per_epoch(self) -> int:
+        return len(self.dataset("train")) // self.batch_size
+
+
+class _TrainViewSynthetic:
+    """Applies FeatureBagDataset train sampling semantics to a synthetic dataset."""
+
+    def __init__(self, ds: SyntheticBagDataset, max_bag_size: int, mixup: bool) -> None:
+        self.ds = ds
+        self.max_bag_size = max_bag_size
+        self.mixup = mixup
+
+    def __len__(self) -> int:
+        return len(self.ds)
+
+    def get_labels(self):
+        return self.ds.get_labels()
+
+    def get_item(self, index: int, rng: np.random.Generator):
+        feats, label, meta = self.ds[index]
+        idx = rng.permutation(feats.shape[0])[: self.max_bag_size]
+        bag = feats[idx]
+        bag = _pad_to(bag, self.max_bag_size)
+        bag = bag[rng.permutation(bag.shape[0])]
+        return bag, label, meta
+
+
+class _EvalViewSynthetic:
+    def __init__(self, ds: SyntheticBagDataset) -> None:
+        self.ds = ds
+
+    def __len__(self) -> int:
+        return len(self.ds)
+
+    def get_labels(self):
+        return self.ds.get_labels()
+
+    def get_item(self, index: int, rng: np.random.Generator):
+        return self.ds[index]

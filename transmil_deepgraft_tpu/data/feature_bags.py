@@ -1,0 +1,179 @@
+"""Per-slide precomputed-feature bag dataset (the primary data path).
+
+Equivalent of the reference's ``FeatureBagLoader``
+(``code/datasets/feature_dataloader.py:26-435``):
+
+- label JSON ``{train/val/test/test_mixin: [[relpath, label], ...]}`` with the
+  ``FEATURES_RETCCL_2048`` path segment substituted by the configured extractor
+  (``:94-95``); ``fine_tune`` mode = train + test_mixin (``:78-80``).
+- slide -> patient map JSON (``:69-71``); slides missing from it are skipped.
+- per-slide HDF5 files with ``features [N, D]`` and ``coords [N, 2]`` datasets
+  (``:252-255``). ``.pt`` tensor files (Camelyon-style, ``camel_data.py``) load
+  via torch(cpu) when available; ``.npy`` loads directly.
+
+Sampling semantics (reproduced exactly; every random draw takes an explicit
+``numpy.random.Generator`` so runs are reproducible by construction):
+- train/fine_tune: random permutation -> first ``max_bag_size`` -> optional
+  bag mixup -> zero-pad to ``max_bag_size`` -> shuffle again (``:335-365``).
+- val/test: deterministic 10% draw with replacement, seeded to 0 per slide
+  (``np.random.seed(0); np.random.choice(n, ceil(0.1 n))``, ``:420-431``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+DEFAULT_FEATURE_TEMPLATE = "FEATURES_RETCCL_2048"
+
+
+def load_bag_file(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+    """Read (features, coords) from .h5/.hdf5 (keys features/coords), .npy, or .pt."""
+    path = Path(path)
+    suffix = path.suffix.lower()
+    if suffix in (".h5", ".hdf5", ""):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            feats = np.asarray(f["features"][:], dtype=np.float32)
+            coords = (
+                np.asarray(f["coords"][:]) if "coords" in f else np.zeros((len(feats), 2), np.int32)
+            )
+        return feats, coords
+    if suffix == ".npy":
+        feats = np.load(path).astype(np.float32)
+        return feats, np.zeros((len(feats), 2), np.int32)
+    if suffix == ".pt":
+        import torch
+
+        feats = torch.load(path, map_location="cpu", weights_only=True)
+        feats = np.asarray(feats, dtype=np.float32)
+        return feats, np.zeros((len(feats), 2), np.int32)
+    raise ValueError(f"unsupported bag file type: {path}")
+
+
+class FeatureBagDataset:
+    def __init__(
+        self,
+        file_path: str | Path,
+        label_path: str | Path,
+        mode: str,
+        n_classes: int,
+        *,
+        slide_patient_path: str | Path | None = None,
+        max_bag_size: int = 1000,
+        mixup: bool = False,
+        feature_extractor: str | None = None,
+        slides: list[str] | None = None,
+        cache: bool = False,
+        eval_draw_fraction: float = 0.1,
+    ) -> None:
+        self.file_path = Path(file_path)
+        self.mode = mode
+        self.n_classes = n_classes
+        self.max_bag_size = max_bag_size
+        self.mixup = mixup
+        self.eval_draw_fraction = eval_draw_fraction
+        self.cache = cache
+        self._bag_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        if slide_patient_path is not None:
+            with open(slide_patient_path) as f:
+                self.slide_patient = json.load(f)
+        else:
+            self.slide_patient = None  # fall back to slide name as patient
+
+        with open(label_path) as f:
+            label_json = json.load(f)
+        if mode == "fine_tune":
+            entries = list(label_json.get("train", [])) + list(label_json.get("test_mixin", []))
+        else:
+            entries = label_json[mode]
+
+        self.files: list[Path] = []
+        self.labels: list[int] = []
+        self.names: list[str] = []
+        self.patients: list[str] = []
+        self.missing: list[str] = []
+        for rel, label in entries:
+            if feature_extractor:
+                rel = rel.replace(DEFAULT_FEATURE_TEMPLATE, feature_extractor)
+            name = Path(rel).stem
+            if self.slide_patient is not None and name not in self.slide_patient:
+                continue
+            if slides is not None and name not in slides:
+                continue
+            path = self.file_path / rel
+            found = None
+            for cand in (path, path.with_suffix(path.suffix + ".h5") if not path.suffix else path,
+                         Path(str(path) + ".h5"), Path(str(path) + ".pt"), Path(str(path) + ".npy")):
+                if Path(cand).exists() and Path(cand).is_file():
+                    found = Path(cand)
+                    break
+            if found is None:
+                self.missing.append(rel)
+                continue
+            self.files.append(found)
+            self.labels.append(int(label))
+            self.names.append(name)
+            self.patients.append(
+                self.slide_patient[name] if self.slide_patient is not None else name
+            )
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def get_labels(self) -> list[int]:
+        return list(self.labels)
+
+    def _load(self, index: int) -> tuple[np.ndarray, np.ndarray]:
+        if self.cache and index in self._bag_cache:
+            return self._bag_cache[index]
+        bag = load_bag_file(self.files[index])
+        if self.cache:
+            self._bag_cache[index] = bag
+        return bag
+
+    def _mixup_bag(self, bag: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        """Bag-level mixup (ref ``feature_dataloader.py:303-330``): convex combos of
+        random instance pairs appended up to max_bag_size."""
+        n = bag.shape[0]
+        a = rng.random(n, dtype=np.float32)[:, None]
+        x = bag[rng.integers(0, n, n)]
+        y = bag[rng.integers(0, n, n)]
+        temp = a * x + (1.0 - a) * y
+        if n < self.max_bag_size:
+            extra = temp[rng.permutation(n)[: self.max_bag_size - n]]
+            return np.concatenate([bag, extra], axis=0)
+        return temp
+
+    def get_item(self, index: int, rng: np.random.Generator) -> tuple[np.ndarray, int, tuple[str, np.ndarray, str]]:
+        feats, coords = self._load(index)
+        label = self.labels[index]
+        name = self.names[index]
+        patient = self.patients[index]
+        n = feats.shape[0]
+
+        if self.mode in ("train", "fine_tune"):
+            idx = rng.permutation(n)[: self.max_bag_size]
+            bag = feats[idx]
+            coords = coords[idx]
+            if self.mixup:
+                bag = self._mixup_bag(bag, rng)
+            if bag.shape[0] < self.max_bag_size:
+                pad = np.zeros((self.max_bag_size - bag.shape[0], bag.shape[1]), np.float32)
+                bag = np.concatenate([bag, pad], axis=0)
+            bag = bag[rng.permutation(bag.shape[0])]
+            return bag, label, (name, coords, patient)
+
+        # val/test: seeded deterministic 10% draw with replacement (ref :420-431).
+        draw_rng = np.random.RandomState(0)
+        draw = draw_rng.choice(n, math.ceil(n * self.eval_draw_fraction))
+        return feats[draw], label, (name, coords[draw], patient)
+
+    def __getitem__(self, index: int):
+        return self.get_item(index, np.random.default_rng())

@@ -1,0 +1,277 @@
+"""Optimizer factory over optax, mirroring the reference's name-keyed surface.
+
+Ref ``code/MyOptimizer/optim_factory.py:25-123``: optimizers resolved by
+``cfg.Optimizer.opt`` (``sgd/momentum/adam/adamw/nadam/radam/adamp/sgdp/adadelta/
+adafactor/rmsprop/rmsproptf/novograd/...``) with a ``lookahead_`` prefix wrapping
+any of them (the default config is ``lookahead_radam``), and weight decay skipped
+for 1-d params and biases (``add_weight_decay``).
+
+TPU-native notes: everything is an ``optax.GradientTransformation``; the apex
+``fused*`` names map to their plain counterparts (XLA fuses optimizer updates
+into single kernels on its own). Lookahead is implemented as a transformation
+holding the slow weights in its *state* (unlike ``optax.lookahead`` which splits
+the param pytree), so it composes transparently with any train-state container.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def weight_decay_mask(params: Any) -> Any:
+    """True for params that should receive weight decay: ndim > 1 (ref
+    ``optim_factory.py:25-37``: skip 1-d tensors and biases)."""
+    return jax.tree.map(lambda p: jnp.ndim(p) > 1, params)
+
+
+class LookaheadState(NamedTuple):
+    inner_state: optax.OptState
+    slow_params: Any
+    step: jax.Array
+
+
+def lookahead_wrap(
+    inner: optax.GradientTransformation, sync_period: int = 6, slow_step_size: float = 0.5
+) -> optax.GradientTransformation:
+    """Lookahead (Zhang 2019) with slow weights carried in optimizer state.
+
+    Defaults k=6, alpha=0.5 match the reference's vendored timm Lookahead
+    (``MyOptimizer/lookahead.py:12``). Every ``sync_period`` steps the update is
+    adjusted so the post-update fast params land at
+    ``slow + alpha * (fast - slow)``, and the slow weights sync there.
+    """
+
+    def init(params: Any) -> LookaheadState:
+        return LookaheadState(
+            inner_state=inner.init(params),
+            slow_params=jax.tree.map(jnp.copy, params),
+            step=jnp.zeros([], jnp.int32),
+        )
+
+    def update(updates: Any, state: LookaheadState, params: Any = None) -> tuple[Any, LookaheadState]:
+        inner_updates, inner_state = inner.update(updates, state.inner_state, params)
+        step = state.step + 1
+        sync = (step % sync_period) == 0
+
+        def synced(fast_after: jax.Array, slow: jax.Array) -> jax.Array:
+            return slow + slow_step_size * (fast_after - slow)
+
+        fast_after = jax.tree.map(lambda p, u: p + u, params, inner_updates)
+        new_fast = jax.tree.map(
+            lambda fa, slow: jnp.where(sync, synced(fa, slow), fa),
+            fast_after,
+            state.slow_params,
+        )
+        new_slow = jax.tree.map(
+            lambda slow, nf: jnp.where(sync, nf, slow), state.slow_params, new_fast
+        )
+        final_updates = jax.tree.map(lambda nf, p: nf - p, new_fast, params)
+        return final_updates, LookaheadState(inner_state, new_slow, step)
+
+    return optax.GradientTransformation(init, update)
+
+
+def rmsprop_tf(
+    lr: float, alpha: float = 0.9, momentum: float = 0.9, eps: float = 1e-10, weight_decay: float = 0.0
+) -> optax.GradientTransformation:
+    """TF1-style RMSprop (eps inside sqrt, ones-init RMS) like the reference's
+    vendored ``rmsprop_tf.py``."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+        optax.scale_by_rms(decay=alpha, eps=eps, initial_scale=1.0, eps_in_sqrt=True),
+        optax.trace(decay=momentum) if momentum else optax.identity(),
+        optax.scale(-lr),
+    )
+
+
+class AdamPState(NamedTuple):
+    mu: Any
+    nu: Any
+    count: jax.Array
+
+
+def adamp(
+    lr: float,
+    betas: tuple[float, float] = (0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    delta: float = 0.1,
+    wd_ratio: float = 0.01,
+    nesterov: bool = True,
+) -> optax.GradientTransformation:
+    """AdamP (Heo 2021): Adam with updates projected off the radial direction for
+    scale-invariant (>1-d) params (ref ``MyOptimizer/adamp.py``)."""
+    b1, b2 = betas
+
+    def init(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+        return AdamPState(mu=zeros(), nu=zeros(), count=jnp.zeros([], jnp.int32))
+
+    def _channel_view(x):
+        return x.reshape(x.shape[0], -1)
+
+    def _project(p, perturb, grad):
+        if p.ndim < 2:
+            return perturb, 1.0
+        pv, gv = _channel_view(p), _channel_view(grad)
+        pn = pv / (jnp.linalg.norm(pv, axis=1, keepdims=True) + eps)
+        cos = jnp.abs(jnp.sum(pn * gv, axis=1)) / (jnp.linalg.norm(gv, axis=1) + eps)
+        cosine_ok = jnp.max(cos) < delta / (p.shape[1] if p.ndim > 1 else 1) ** 0.5
+        pertv = _channel_view(perturb)
+        proj = pertv - pn * jnp.sum(pn * pertv, axis=1, keepdims=True)
+        projected = proj.reshape(p.shape)
+        out = jnp.where(cosine_ok, projected, perturb)
+        ratio = jnp.where(cosine_ok, wd_ratio, 1.0)
+        return out, ratio
+
+    def update(grads, state, params):
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+
+        def perturb_fn(m, v, g):
+            denom = jnp.sqrt(v / bc2) + eps
+            step_size = 1.0 / bc1
+            if nesterov:
+                return (b1 * m + (1 - b1) * g) / denom * step_size
+            return m / denom * step_size
+
+        perturbs = jax.tree.map(perturb_fn, mu, nu, grads)
+
+        def apply_proj(p, pert, g):
+            pert, ratio = _project(p, pert, g)
+            new = -lr * pert
+            if weight_decay:
+                new = new - lr * weight_decay * ratio * p
+            return new
+
+        updates = jax.tree.map(apply_proj, params, perturbs, grads)
+        return updates, AdamPState(mu, nu, count)
+
+    return optax.GradientTransformation(init, update)
+
+
+def sgdp(
+    lr: float, momentum: float = 0.9, weight_decay: float = 0.0, nesterov: bool = True
+) -> optax.GradientTransformation:
+    """SGDP: momentum SGD with the same projection idea; approximated here by
+    momentum SGD + decoupled weight decay (projection matters mainly for BN nets,
+    which the MIL heads do not use)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+        optax.sgd(lr, momentum=momentum, nesterov=nesterov),
+    )
+
+
+def create_optimizer(
+    opt: str = "lookahead_radam",
+    lr: float = 2e-4,
+    weight_decay: float = 0.01,
+    momentum: float | None = 0.9,
+    opt_eps: float | None = None,
+    opt_betas: tuple[float, float] | None = None,
+    params: Any = None,
+    grad_accum_steps: int = 1,
+    **_: Any,
+) -> optax.GradientTransformation:
+    """Build an optax optimizer from config fields (``cfg.Optimizer``).
+
+    ``lookahead_`` prefix wraps the base optimizer; weight decay is masked to
+    >1-d params when ``params`` is provided (ref ``add_weight_decay``).
+    ``grad_accum_steps > 1`` wraps the result in ``optax.MultiSteps`` (the
+    reference's Lightning ``accumulate_grad_batches``).
+    """
+    opt_lower = opt.lower()
+    parts = opt_lower.split("_")
+    use_lookahead = len(parts) > 1 and parts[0] == "lookahead"
+    name = parts[-1]
+    name = name.removeprefix("fused")  # apex fused* -> plain (XLA fuses on its own)
+    if name == "":
+        name = parts[-1]
+
+    eps = opt_eps if opt_eps is not None else 1e-8
+    betas = tuple(opt_betas) if opt_betas else (0.9, 0.999)
+    mom = momentum if momentum is not None else 0.9
+    mask = weight_decay_mask(params) if params is not None else None
+
+    def wd_kwargs():
+        return {"weight_decay": weight_decay, "mask": mask} if weight_decay else {"weight_decay": 0.0}
+
+    if name in ("sgd", "nesterov"):
+        tx = optax.sgd(lr, momentum=mom, nesterov=True)
+        if weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(weight_decay, mask=mask), tx)
+    elif name == "momentum":
+        tx = optax.sgd(lr, momentum=mom, nesterov=False)
+        if weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(weight_decay, mask=mask), tx)
+    elif name == "adam":
+        # torch.optim.Adam applies L2 (coupled) weight decay; adamw-style mask not used.
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=mask) if weight_decay else optax.identity(),
+            optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps),
+        )
+    elif name == "adamw":
+        tx = optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps, **wd_kwargs())
+    elif name == "nadam":
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=mask) if weight_decay else optax.identity(),
+            optax.nadam(lr, b1=betas[0], b2=betas[1], eps=eps),
+        )
+    elif name == "radam":
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=mask) if weight_decay else optax.identity(),
+            optax.radam(lr, b1=betas[0], b2=betas[1], eps=eps),
+        )
+    elif name == "adamp":
+        tx = adamp(lr, betas=betas, eps=eps, weight_decay=weight_decay)
+    elif name == "sgdp":
+        tx = sgdp(lr, momentum=mom, weight_decay=weight_decay)
+    elif name == "adadelta":
+        tx = optax.adadelta(lr, eps=eps)
+    elif name == "adafactor":
+        tx = optax.adafactor(lr if lr else None)
+    elif name == "adahessian":
+        raise NotImplementedError(
+            "adahessian needs Hessian-vector products wired through the train step; "
+            "use radam/adamw (tracked for a later round)"
+        )
+    elif name == "rmsprop":
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=mask) if weight_decay else optax.identity(),
+            optax.rmsprop(lr, decay=0.9, eps=eps, momentum=mom),
+        )
+    elif name == "rmsproptf":
+        tx = rmsprop_tf(lr, alpha=0.9, momentum=mom, eps=eps, weight_decay=weight_decay)
+    elif name in ("novograd", "nvnovograd"):
+        tx = optax.novograd(lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
+    elif name == "lamb":
+        tx = optax.lamb(lr, b1=betas[0], b2=betas[1], eps=eps, **wd_kwargs())
+    else:
+        raise KeyError(f"unknown optimizer '{opt}'")
+
+    if use_lookahead:
+        tx = lookahead_wrap(tx)
+    if grad_accum_steps and grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
+    return tx
+
+
+def create_optimizer_from_config(optimizer_cfg: Any, params: Any = None, grad_accum_steps: int = 1) -> optax.GradientTransformation:
+    """Build from a ``cfg.Optimizer`` section (opt/lr/opt_eps/opt_betas/momentum/weight_decay)."""
+    return create_optimizer(
+        opt=optimizer_cfg.opt or "lookahead_radam",
+        lr=float(optimizer_cfg.lr or 2e-4),
+        weight_decay=float(optimizer_cfg.weight_decay or 0.0),
+        momentum=optimizer_cfg.momentum if optimizer_cfg.momentum else 0.9,
+        opt_eps=optimizer_cfg.opt_eps if optimizer_cfg.opt_eps else None,
+        opt_betas=optimizer_cfg.opt_betas if optimizer_cfg.opt_betas else None,
+        params=params,
+        grad_accum_steps=grad_accum_steps,
+    )

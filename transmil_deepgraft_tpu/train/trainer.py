@@ -1,0 +1,433 @@
+"""The experiment layer: jitted train/eval steps over an ICI mesh + fit/test loops.
+
+Replaces the reference's Lightning ``ModelInterface`` + ``Trainer``
+(``code/models/model_interface.py:108-1320``, ``code/train.py:91-327``) with an
+explicit, functional loop:
+
+- ``train_step``: value_and_grad of soft-target CE (one-hot labels, ref
+  ``model_interface.py:344-347``) through the jitted model apply; optimizer is
+  any optax transformation (grad accumulation via optax.MultiSteps); donated
+  params/opt-state; batch sharded over the mesh ``dp`` axis, params replicated -
+  XLA inserts the gradient psum (the NCCL all-reduce equivalent).
+- validation/test: per-slide probabilities gathered to host; slide metrics,
+  patient aggregation (positive-slide filter), Youden-J thresholds, metric
+  collections, CSV exports (``TEST_RESULT_{PATIENT,SLIDE}.csv``, top-k patient
+  lists) exactly as ``model_interface.py:472-860,896-1011``.
+- callbacks-as-code: early stopping on val_loss (patience), ReduceLROnPlateau
+  (factor 0.5, every 10 epochs, ref ``:873``), metric-keyed checkpoint retention,
+  optional SWA averaging (ref ``utils/utils.py:224``).
+
+DTFD's two-tier/two-optimizer training (``model_interface_dtfd.py:594-607``)
+runs through the same loop via ``optax.multi_transform`` over the tier-1/tier-2
+parameter partition and a summed two-tier loss.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from transmil_deepgraft_tpu.data.datamodule import Batch, MILDataModule
+from transmil_deepgraft_tpu.train.aggregation import aggregate_patients
+from transmil_deepgraft_tpu.train.losses import LossFn
+from transmil_deepgraft_tpu.train.metrics import (
+    auroc,
+    classification_report,
+    youden_j_threshold,
+)
+from transmil_deepgraft_tpu.utils.checkpoints import CheckpointManager, load_pytree, save_pytree
+from transmil_deepgraft_tpu.utils.config import LABEL_MAP
+from transmil_deepgraft_tpu.utils.logging import MetricLogger
+
+
+@dataclass
+class TrainerConfig:
+    epochs: int = 200
+    patience: int = 50
+    grad_acc: int = 1
+    seed: int = 2021
+    log_dir: str = "logs/run"
+    task: str = "norm_rest"
+    reduce_lr_factor: float = 0.5
+    reduce_lr_every: int = 10  # epochs between plateau checks (ref frequency=10)
+    reduce_lr_patience: int = 10  # plateau epochs (torch ReduceLROnPlateau default)
+    min_lr_scale: float = 1e-3
+    swa: bool = False
+    swa_start_frac: float = 0.75
+    fast_dev_run: bool = False
+    use_tensorboard: bool = False
+
+
+def mutable_lr_scale() -> optax.GradientTransformation:
+    """Final update scaling whose state the trainer mutates on val-loss plateau
+    (the optax-side of ReduceLROnPlateau)."""
+
+    def init(params):
+        del params
+        return {"lr_scale": jnp.ones([], jnp.float32)}
+
+    def update(updates, state, params=None):
+        del params
+        scale = state["lr_scale"]
+        return jax.tree.map(lambda u: u * scale, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def _set_lr_scale(opt_state: Any, value: float) -> Any:
+    """Replace every {'lr_scale': x} leaf-dict value in the opt-state pytree."""
+
+    def visit(node):
+        if isinstance(node, dict) and set(node.keys()) == {"lr_scale"}:
+            return {"lr_scale": jnp.asarray(value, jnp.float32)}
+        return None
+
+    return _tree_replace(opt_state, visit)
+
+
+def _get_lr_scale(opt_state: Any) -> float:
+    found = []
+
+    def visit(node):
+        if isinstance(node, dict) and set(node.keys()) == {"lr_scale"}:
+            found.append(float(node["lr_scale"]))
+        return None
+
+    _tree_replace(opt_state, visit)
+    return found[0] if found else 1.0
+
+
+def _tree_replace(tree: Any, visit: Callable[[Any], Any]) -> Any:
+    replaced = visit(tree)
+    if replaced is not None:
+        return replaced
+    if isinstance(tree, dict):
+        return {k: _tree_replace(v, visit) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)) and not hasattr(tree, "_fields"):
+        return type(tree)(_tree_replace(v, visit) for v in tree)
+    if hasattr(tree, "_fields"):  # NamedTuple (optax states)
+        return type(tree)(*(_tree_replace(v, visit) for v in tree))
+    return tree
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        tx: optax.GradientTransformation,
+        datamodule: MILDataModule,
+        *,
+        n_classes: int,
+        loss_fn: LossFn,
+        config: TrainerConfig,
+        mesh=None,
+        model_name: str = "TransMIL",
+    ) -> None:
+        self.model = model
+        self.tx = optax.chain(tx, mutable_lr_scale())
+        self.dm = datamodule
+        self.n_classes = n_classes
+        self.loss_fn = loss_fn
+        self.cfg = config
+        self.mesh = mesh
+        self.model_name = model_name
+        self.is_dtfd = model_name in ("DTFD", "DTFDMIL")
+
+        self.log_dir = Path(config.log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.logger = MetricLogger(self.log_dir, use_tensorboard=config.use_tensorboard)
+        self.ckpts = CheckpointManager(self.log_dir / "checkpoints")
+
+        self.params = None
+        self.opt_state = None
+        self._train_step = None
+        self._eval_fns: dict[tuple, Callable] = {}
+        self._swa_params = None
+        self._swa_count = 0
+
+    # ------------------------------------------------------------------ setup
+    def init_params(self, example_batch: Batch) -> None:
+        rngs = {
+            "params": jax.random.key(self.cfg.seed),
+            "dropout": jax.random.key(self.cfg.seed + 1),
+            "shuffle": jax.random.key(self.cfg.seed + 2),
+        }
+        x = jnp.asarray(example_batch.bags[:1])
+        variables = self.model.init(rngs, x)
+        self.params = variables["params"]
+        self.opt_state = self.tx.init(self.params)
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            self.params = jax.device_put(self.params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
+
+    def _forward_logits(self, params, bags, rngs, deterministic):
+        out = self.model.apply(
+            {"params": params}, bags, deterministic=deterministic,
+            rngs=rngs if not deterministic else None,
+        )
+        if self.is_dtfd:
+            sub, slide = out
+            return slide, sub
+        return out, None
+
+    def _build_train_step(self):
+        loss_fn = self.loss_fn
+        n_classes = self.n_classes
+        tx = self.tx
+
+        def step(params, opt_state, bags, labels, rng):
+            drop_rng, shuffle_rng = jax.random.split(rng)
+            rngs = {"dropout": drop_rng, "shuffle": shuffle_rng}
+
+            def loss_of(p):
+                logits, sub = self._forward_logits(p, bags, rngs, deterministic=False)
+                one_hot = jax.nn.one_hot(labels, n_classes)
+                loss = loss_fn(logits, one_hot)
+                if sub is not None:  # DTFD tier-1 loss over pseudo-bag predictions
+                    sub_one_hot = jnp.broadcast_to(one_hot[:1], (sub.shape[0], n_classes))
+                    loss = loss + loss_fn(sub, sub_one_hot)
+                return loss, logits
+
+            (loss, logits), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, jax.nn.softmax(logits, axis=-1)
+
+        donate = (0, 1)
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("dp"))
+            return jax.jit(
+                step,
+                donate_argnums=donate,
+                in_shardings=(repl, repl, data, data, repl),
+                out_shardings=(repl, repl, repl, data),
+            )
+        return jax.jit(step, donate_argnums=donate)
+
+    def _eval_fn(self, bag_shape: tuple) -> Callable:
+        key = bag_shape
+        if key not in self._eval_fns:
+            def eval_step(params, bags):
+                logits, _ = self._forward_logits(params, bags, None, deterministic=True)
+                return jax.nn.softmax(logits, axis=-1), logits
+
+            self._eval_fns[key] = jax.jit(eval_step)
+        return self._eval_fns[key]
+
+    # ------------------------------------------------------------------ train
+    def fit(self) -> dict[str, float]:
+        first = next(iter(self.dm.train_batches(epoch=0)))
+        if self.params is None:
+            self.init_params(first)
+        self._train_step = self._build_train_step()
+
+        best_val_loss = float("inf")
+        epochs_since_best = 0
+        plateau_since_best = 0
+        lr_scale = 1.0
+        history: dict[str, float] = {}
+        rng = jax.random.key(self.cfg.seed + 7)
+
+        n_epochs = 1 if self.cfg.fast_dev_run else self.cfg.epochs
+        for epoch in range(n_epochs):
+            t0 = time.time()
+            losses, train_probs, train_labels = [], [], []
+            for batch in self.dm.train_batches(epoch):
+                rng, step_rng = jax.random.split(rng)
+                self.params, self.opt_state, loss, probs = self._train_step(
+                    self.params, self.opt_state,
+                    jnp.asarray(batch.bags), jnp.asarray(batch.labels), step_rng,
+                )
+                losses.append(loss)
+                train_probs.append(np.asarray(probs))
+                train_labels.append(batch.labels)
+                if self.cfg.fast_dev_run:
+                    break
+
+            train_loss = float(np.mean([np.asarray(l) for l in losses]))
+            tp = np.concatenate(train_probs)
+            tl = np.concatenate(train_labels)
+            train_auc = auroc(tp, tl, self.n_classes)
+
+            val = self.evaluate("val")
+            metrics = {
+                "loss": train_loss,
+                "train_auc": train_auc,
+                "val_loss": val["loss"],
+                "val_auc": val["auroc"],
+                "val_patient_auc": val["patient_auroc"],
+                "val_accuracy": val["patient_report"].accuracy,
+                "lr_scale": lr_scale,
+                "epoch_time_s": time.time() - t0,
+            }
+            self.logger.log(epoch, metrics)
+            self.ckpts.save_epoch(
+                {"params": self.params}, epoch,
+                {k: metrics[k] for k in ("val_loss", "val_auc", "val_accuracy")},
+            )
+            history = metrics
+
+            # SWA running average (ref StochasticWeightAveraging callback)
+            if self.cfg.swa and epoch >= int(self.cfg.swa_start_frac * n_epochs):
+                if self._swa_params is None:
+                    self._swa_params = jax.tree.map(jnp.copy, self.params)
+                    self._swa_count = 1
+                else:
+                    c = self._swa_count
+                    self._swa_params = jax.tree.map(
+                        lambda a, p: (a * c + p) / (c + 1), self._swa_params, self.params
+                    )
+                    self._swa_count += 1
+
+            # early stopping on val_loss (ref EarlyStopping(patience))
+            if val["loss"] < best_val_loss - 1e-6:
+                best_val_loss = val["loss"]
+                epochs_since_best = 0
+                plateau_since_best = 0
+            else:
+                epochs_since_best += 1
+                plateau_since_best += 1
+            if epochs_since_best >= self.cfg.patience:
+                break
+
+            # ReduceLROnPlateau every reduce_lr_every epochs (ref frequency=10)
+            if (
+                (epoch + 1) % self.cfg.reduce_lr_every == 0
+                and plateau_since_best >= self.cfg.reduce_lr_patience
+                and lr_scale > self.cfg.min_lr_scale
+            ):
+                lr_scale = max(lr_scale * self.cfg.reduce_lr_factor, self.cfg.min_lr_scale)
+                self.opt_state = _set_lr_scale(self.opt_state, lr_scale)
+                plateau_since_best = 0
+
+        if self.cfg.swa and self._swa_params is not None:
+            self.params = self._swa_params
+        save_pytree(self.ckpts.last_path(), {"params": self.params})
+        return history
+
+    # ------------------------------------------------------------------- eval
+    def evaluate(self, mode: str, save_results: bool = False, stage_name: str | None = None) -> dict:
+        all_probs, all_logits, all_labels, names, patients = [], [], [], [], []
+        for batch in self.dm.eval_batches(mode):
+            fn = self._eval_fn(batch.bags.shape[1:])
+            probs, logits = fn(self.params, jnp.asarray(batch.bags))
+            all_probs.append(np.asarray(probs))
+            all_logits.append(np.asarray(logits))
+            all_labels.append(batch.labels)
+            names += batch.names
+            patients += batch.patients
+            if self.cfg.fast_dev_run and len(names) >= 2:
+                break
+
+        probs = np.concatenate(all_probs)
+        logits = np.concatenate(all_logits)
+        labels = np.concatenate(all_labels)
+
+        # slide-level CE loss (ref validation_step's cross_entropy_torch)
+        logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+        loss = float(-np.mean(logp[np.arange(len(labels)), labels]))
+
+        slide_auc = auroc(probs, labels, self.n_classes)
+        slide_report = classification_report(probs, labels, self.n_classes)
+
+        agg = aggregate_patients(probs, labels, names, patients, self.n_classes)
+        patient_auc = auroc(agg.scores, agg.targets, self.n_classes)
+        patient_report = classification_report(agg.scores, agg.targets, self.n_classes)
+
+        thresholds = [1.0 / self.n_classes] * self.n_classes
+        if self.n_classes <= 2 and len(np.unique(agg.targets)) > 1:
+            *_, thr = youden_j_threshold(agg.scores[:, 1], agg.targets)
+            thresholds = [thr, thr]
+
+        result = {
+            "loss": loss,
+            "auroc": slide_auc,
+            "patient_auroc": patient_auc,
+            "slide_report": slide_report,
+            "patient_report": patient_report,
+            "thresholds": thresholds,
+            "aggregate": agg,
+        }
+        if save_results:
+            self._save_results(agg, mode=stage_name or mode)
+            self._save_topk_patients(agg, thresholds, stage=stage_name or mode)
+        return result
+
+    def test(self) -> dict:
+        result = self.evaluate("test", save_results=True, stage_name="test")
+        summary = {
+            "test_loss": result["loss"],
+            "test_auc": result["auroc"],
+            "test_patient_auc": result["patient_auroc"],
+            **result["patient_report"].as_dict("test_patient_"),
+            **result["slide_report"].as_dict("test_slide_"),
+        }
+        (self.log_dir / "test_metrics.json").write_text(json.dumps(summary, indent=2))
+        self.logger.log(-1, summary)
+        return summary
+
+    # --------------------------------------------------------------- reporting
+    def _label_map(self) -> dict[str, str]:
+        lm = LABEL_MAP.get(self.cfg.task)
+        if lm is None:
+            lm = {str(i): f"class_{i}" for i in range(self.n_classes)}
+        return lm
+
+    def _save_results(self, agg, mode: str = "test") -> None:
+        """TEST_RESULT_PATIENT.csv / TEST_RESULT_SLIDE.csv (ref
+        ``model_interface.py:896-945``)."""
+        import pandas as pd
+
+        lm = self._label_map()
+        patient_dict: dict[str, Any] = {"PATIENT": agg.patients, "yTrue": agg.targets.tolist()}
+        for i in range(self.n_classes):
+            patient_dict[lm[str(i)]] = agg.scores[:, i].tolist()
+        pd.DataFrame(patient_dict).to_csv(self.log_dir / f"{mode.upper()}_RESULT_PATIENT.csv")
+
+        rows: dict[str, list] = {"SLIDE": [], "yTrue": []}
+        for v in lm.values():
+            rows[v] = []
+        for p, t in zip(agg.patients, agg.targets):
+            for slide_name, score in agg.slide_scores[p]:
+                rows["SLIDE"].append(slide_name)
+                rows["yTrue"].append(int(t))
+                for j in range(self.n_classes):
+                    rows[lm[str(j)]].append(float(score[j]))
+        import pandas as pd  # noqa: F811
+
+        pd.DataFrame(rows).to_csv(self.log_dir / f"{mode.upper()}_RESULT_SLIDE.csv")
+
+    def _save_topk_patients(self, agg, thresholds, stage: str = "test", k: int = 50) -> None:
+        """Per-class top-k patient CSVs that seed the visualizer (ref
+        ``model_interface.py:985-1011``)."""
+        import pandas as pd
+
+        for c in range(self.n_classes):
+            mask = agg.targets == c
+            c_patients = np.array(agg.patients)[mask]
+            c_scores = agg.scores[mask, c]
+            kk = min(k, len(c_scores))
+            order = np.argsort(-c_scores)[:kk]
+            keep = c_scores[order] > thresholds[c]
+            pd.DataFrame(
+                {"Patient": c_patients[order][keep], "Scores": c_scores[order][keep]}
+            ).to_csv(self.log_dir / f"{stage}_c{c}_top_patients.csv", index=False)
+
+    # ------------------------------------------------------------- persistence
+    def load_checkpoint(self, path: str | Path) -> None:
+        if self.params is None:
+            first = next(iter(self.dm.eval_batches("test")))
+            self.init_params(first)
+        restored = load_pytree(path, {"params": self.params})
+        self.params = restored["params"]

@@ -1,0 +1,119 @@
+"""Checkpointing with metric-keyed retention.
+
+Equivalent of the reference's three ModelCheckpoint callbacks + save_last
+(ref ``code/utils/utils.py:195-218``): retain top-3 by val_loss (min), top-1 by
+val_auc (max), top-3 by val_accuracy (max), plus ``last``. Checkpoints are
+orbax-saved pytrees of ``{params, opt_state?, epoch, metrics, hparams}``;
+filenames embed epoch and monitored metrics like the reference's.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_pytree(path: str | Path, tree: Any) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tree = jax.tree.map(np.asarray, jax.device_get(tree))
+    path.write_bytes(serialization.to_bytes(tree))
+
+
+def load_pytree(path: str | Path, target: Any) -> Any:
+    return serialization.from_bytes(target, Path(path).read_bytes())
+
+
+@dataclass
+class Monitor:
+    name: str
+    mode: str  # 'min' | 'max'
+    top_k: int
+    kept: list[tuple[float, str]] = field(default_factory=list)  # (value, filename)
+
+    def better(self, a: float, b: float) -> bool:
+        return a < b if self.mode == "min" else a > b
+
+    def consider(self, value: float, filename: str) -> tuple[bool, str | None]:
+        """Returns (keep, evicted_filename)."""
+        if len(self.kept) < self.top_k:
+            self.kept.append((value, filename))
+            self._sort()
+            return True, None
+        worst_value, worst_file = self.kept[-1]
+        if self.better(value, worst_value):
+            self.kept[-1] = (value, filename)
+            self._sort()
+            return True, worst_file
+        return False, None
+
+    def _sort(self) -> None:
+        self.kept.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
+
+    def best(self) -> tuple[float, str] | None:
+        return self.kept[0] if self.kept else None
+
+
+class CheckpointManager:
+    """Multi-monitor top-k retention over flax-serialized checkpoint files."""
+
+    DEFAULT_MONITORS = (
+        ("val_loss", "min", 3),
+        ("val_auc", "max", 1),
+        ("val_accuracy", "max", 3),
+    )
+
+    def __init__(self, directory: str | Path, monitors=DEFAULT_MONITORS) -> None:
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.monitors = {name: Monitor(name, mode, k) for name, mode, k in monitors}
+
+    def save_epoch(self, tree: Any, epoch: int, metrics: dict[str, float]) -> list[str]:
+        """Save ``last`` and any monitor-qualifying checkpoints; returns saved names."""
+        saved = []
+        save_pytree(self.dir / "last.ckpt", tree)
+        (self.dir / "last.json").write_text(json.dumps({"epoch": epoch, **metrics}))
+        saved.append("last.ckpt")
+
+        refcounts: dict[str, int] = {}
+        for mon in self.monitors.values():
+            for _, f in mon.kept:
+                refcounts[f] = refcounts.get(f, 0) + 1
+
+        parts = [f"epoch={epoch:02d}"] + [
+            f"{k}={metrics[k]:.4f}" for k in self.monitors if k in metrics
+        ]
+        filename = "-".join(parts) + ".ckpt"
+
+        wanted = False
+        evicted: list[str] = []
+        for name, mon in self.monitors.items():
+            if name not in metrics:
+                continue
+            keep, evict = mon.consider(float(metrics[name]), filename)
+            wanted = wanted or keep
+            if evict:
+                evicted.append(evict)
+
+        if wanted:
+            save_pytree(self.dir / filename, tree)
+            saved.append(filename)
+        for f in evicted:
+            still_referenced = any(f == kf for mon in self.monitors.values() for _, kf in mon.kept)
+            if not still_referenced and (self.dir / f).exists():
+                (self.dir / f).unlink()
+        return saved
+
+    def best_path(self, monitor: str = "val_auc") -> Path | None:
+        best = self.monitors[monitor].best()
+        return self.dir / best[1] if best else None
+
+    def last_path(self) -> Path:
+        return self.dir / "last.ckpt"
