@@ -28,6 +28,9 @@ BAG = 40960
 
 def main() -> None:
     from transmil_deepgraft_tpu.models import create_model
+    from transmil_deepgraft_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     model = create_model("TransMIL", n_classes=2, in_features=2048)
     bags = jnp.asarray(np.random.default_rng(0).standard_normal((1, BAG, 2048), dtype=np.float32))

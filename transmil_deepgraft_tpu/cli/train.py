@@ -99,6 +99,9 @@ def build(cfg, log_dir: str | None = None):
 
 
 def main(argv: list[str] | None = None) -> dict:
+    from transmil_deepgraft_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = make_parser().parse_args(argv)
     cfg = read_yaml(args.config)
     cfg = finalize_config(
@@ -118,6 +121,25 @@ def main(argv: list[str] | None = None) -> dict:
         cfg.Data.bag_size = args.bag_size
 
     trainer = build(cfg, log_dir=args.log_dir)
+
+    if args.stage in ("train", "fine_tune") and cfg.Data.cross_val:
+        # K-fold cross-validation + ensemble (ref train.py:256-260 + train_loop.py)
+        from transmil_deepgraft_tpu.train.kfold import run_kfold
+
+        def build_for_fold(fold_dm, log_dir):
+            t = build(cfg, log_dir=log_dir)
+            t.dm = fold_dm
+            return t
+
+        result = run_kfold(
+            build_for_fold,
+            trainer.dm,
+            nfold=int(cfg.Data.nfold or 3),
+            export_dir=Path(trainer.cfg.log_dir) / "kfold",
+            seed=int(cfg.General.seed or 2021),
+        )
+        print(json.dumps(result.ensemble_metrics, default=float))
+        return result.ensemble_metrics
 
     if args.stage in ("train", "fine_tune"):
         if args.resume_training:

@@ -42,6 +42,7 @@ class NystromAttentionLayer(nn.Module):
     residual: bool = True
     residual_kernel_size: int = 33
     dropout: float = 0.7
+    use_pallas: Optional[bool] = None  # None -> fused kernels on TPU backends
 
     @nn.compact
     def __call__(
@@ -67,15 +68,30 @@ class NystromAttentionLayer(nn.Module):
         qkv = qkv.reshape(b, np_, 3, self.heads, self.dim_head)
         q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # (b, h, np, d)
 
-        result: NystromOutput = nystrom_attention(
-            q,
-            k,
-            v,
-            num_landmarks=self.num_landmarks,
-            pinv_iterations=self.pinv_iterations,
-            return_row_index=return_row_index,
-        )
-        out = result.out  # (b, h, np, d), float32
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and return_row_index is None:
+            from transmil_deepgraft_tpu.ops.pallas.nystrom_kernel import (
+                nystrom_attention_fused,
+            )
+
+            block_n = next(bn for bn in (2048, 1024, 512, 256, 128, 64, 32, 16, 8, np_)
+                           if np_ % bn == 0)
+            out = nystrom_attention_fused(
+                q, k, v, self.num_landmarks, self.pinv_iterations, block_n
+            )
+            result = NystromOutput(out=out, cls_row=None)
+        else:
+            result = nystrom_attention(
+                q,
+                k,
+                v,
+                num_landmarks=self.num_landmarks,
+                pinv_iterations=self.pinv_iterations,
+                return_row_index=return_row_index,
+            )
+            out = result.out  # (b, h, np, d), float32
 
         if self.residual:
             # Per-head depthwise conv over the sequence axis, shared across the

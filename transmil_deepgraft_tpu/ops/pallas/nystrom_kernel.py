@@ -1,0 +1,212 @@
+"""Fused Pallas TPU kernels for Nystrom attention (the TransMIL hot path).
+
+The XLA-level implementation (``ops/nystrom.py``) materializes two n x m
+attention matrices in HBM (attn1: n x 256 and attn3: 256 x n - ~340 MB of f32
+traffic for a 40k-patch slide at 8 heads). These kernels keep both inside VMEM:
+
+- :func:`landmark_attention`: ``attn3_v = softmax(q_lm @ k^T) @ v`` via
+  flash-style online softmax - q_lm (m x d) stays resident while K/V stream in
+  tiles over the sequence (sequential grid axis).
+- :func:`query_landmark_attention`: ``out = softmax(q @ k_lm^T) @ B`` where
+  ``B = pinv(attn2) @ attn3_v`` is a small m x d matrix - each q tile computes
+  its full m-wide softmax row in registers and immediately contracts with B
+  (parallel grid).
+
+The tiny m x m work (landmark Gram softmax + Newton-Schulz pinv) and the
+segment-mean landmarks stay in XLA where they are already optimal.
+
+``nystrom_attention_fused`` wires everything together under ``jax.custom_vjp``:
+forward = fused kernels, backward = VJP of the XLA reference (recomputed), so
+training works out of the box while inference takes the fast path. Golden tests
+compare both against ``ops.nystrom.nystrom_attention``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from transmil_deepgraft_tpu.ops.nystrom import _segment_means, nystrom_attention
+from transmil_deepgraft_tpu.ops.pinv import newton_schulz_pinv
+
+NEG_INF = -1e30
+_LANES = 128
+
+
+def _landmark_attn_kernel(qlm_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+    """Online-softmax flash kernel: queries = landmarks (resident), keys stream.
+
+    Grid (bh, n_tiles); n_tiles is the sequential reduction axis.
+    qlm_ref: (m, d), k_ref/v_ref: (block_n, d), o_ref: (m, d).
+    Scratch: m_ref/l_ref (m, _LANES) f32, acc_ref (m, d) f32.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = qlm_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (m, block_n)
+
+    m_prev = m_ref[:, :1]  # (m, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)  # (m, block_n)
+    l_next = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def landmark_attention(q_lm: jax.Array, k: jax.Array, v: jax.Array, *, block_n: int = 1024) -> jax.Array:
+    """softmax(q_lm @ k^T, axis=-1) @ v, shapes (bh, m, d), (bh, n, d), (bh, n, d)."""
+    bh, m, d = q_lm.shape
+    _, n, _ = k.shape
+    block_n = min(block_n, n)
+    if n % block_n != 0:
+        raise ValueError(f"n={n} not divisible by block_n={block_n}")
+
+    grid = (bh, n // block_n)
+    return pl.pallas_call(
+        _landmark_attn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, m, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((m, _LANES), jnp.float32),
+            pltpu.VMEM((m, _LANES), jnp.float32),
+            pltpu.VMEM((m, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(q_lm, k, v)
+
+
+def _query_lm_kernel(q_ref, klm_ref, b_ref, o_ref):
+    """out_tile = softmax(q_tile @ k_lm^T) @ B; everything VMEM-resident."""
+    q = q_ref[0]
+    klm = klm_ref[0]
+    s = jax.lax.dot_general(
+        q, klm, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_n, m)
+    s = s - jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        p, b_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def query_landmark_attention(q: jax.Array, k_lm: jax.Array, b: jax.Array, *, block_n: int = 1024) -> jax.Array:
+    """softmax(q @ k_lm^T, axis=-1) @ b; q (bh, n, d), k_lm (bh, m, d), b (bh, m, d)."""
+    bh, n, d = q.shape
+    _, m, _ = k_lm.shape
+    block_n = min(block_n, n)
+    if n % block_n != 0:
+        raise ValueError(f"n={n} not divisible by block_n={block_n}")
+
+    def kernel(q_ref, klm_ref, b_ref, o_ref):
+        _query_lm_kernel(q_ref, klm_ref, b_ref, o_ref)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, n // block_n),
+        in_specs=[
+            pl.BlockSpec((1, block_n, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_n, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(q, k_lm, b)
+
+
+def _fused_forward(q, k, v, num_landmarks, pinv_iterations, block_n):
+    b, h, n, d = q.shape
+    m = num_landmarks
+    qs = q.astype(jnp.float32) * (d ** -0.5)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    q_lm = _segment_means(qs, m)
+    k_lm = _segment_means(kf, m)
+
+    attn2 = jax.nn.softmax(
+        jnp.einsum("bhmd,bhld->bhml", q_lm, k_lm, preferred_element_type=jnp.float32), axis=-1
+    )
+    attn2_inv = newton_schulz_pinv(attn2, pinv_iterations)  # (b, h, m, m)
+
+    qlm_f = q_lm.reshape(b * h, m, d)
+    k_f = kf.reshape(b * h, n, d)
+    v_f = vf.reshape(b * h, n, d)
+    attn3_v = landmark_attention(qlm_f, k_f, v_f, block_n=block_n)  # (bh, m, d)
+
+    bmat = jnp.matmul(
+        attn2_inv.reshape(b * h, m, m), attn3_v, preferred_element_type=jnp.float32
+    )  # (bh, m, d)
+    out = query_landmark_attention(
+        qs.reshape(b * h, n, d), k_lm.reshape(b * h, m, d), bmat, block_n=block_n
+    )
+    return out.reshape(b, h, n, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def nystrom_attention_fused(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_landmarks: int = 256,
+    pinv_iterations: int = 6,
+    block_n: int = 1024,
+) -> jax.Array:
+    """Fused-kernel Nystrom attention; same semantics as
+    ``ops.nystrom.nystrom_attention(...).out`` (n must divide block_n)."""
+    return _fused_forward(q, k, v, num_landmarks, pinv_iterations, block_n)
+
+
+def _fwd(q, k, v, num_landmarks, pinv_iterations, block_n):
+    return _fused_forward(q, k, v, num_landmarks, pinv_iterations, block_n), (q, k, v)
+
+
+def _bwd(num_landmarks, pinv_iterations, block_n, residuals, g):
+    q, k, v = residuals
+
+    def ref(q, k, v):
+        return nystrom_attention(
+            q, k, v, num_landmarks=num_landmarks, pinv_iterations=pinv_iterations
+        ).out
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+nystrom_attention_fused.defvjp(_fwd, _bwd)

@@ -1,0 +1,134 @@
+"""K-fold cross-validation loop + logit-mean ensemble testing.
+
+Equivalent of the reference's custom Lightning loop (``code/train_loop.py:31-495``
++ ``datasets/data_interface.py:358-430``): KFold split over the train set,
+per-fold fit + test with weight reset between folds, ``model.{fold}.pt``
+exports, and a final EnsembleVotingModel run - mean logits over the fold
+checkpoints on the held-out test set.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transmil_deepgraft_tpu.data.datamodule import Batch, MILDataModule, collate
+from transmil_deepgraft_tpu.data.sampler import ImbalancedSampler
+from transmil_deepgraft_tpu.train.aggregation import aggregate_patients
+from transmil_deepgraft_tpu.train.metrics import auroc, classification_report
+from transmil_deepgraft_tpu.utils.checkpoints import load_pytree, save_pytree
+
+
+class FoldDataModule:
+    """View of a base MILDataModule restricted to fold train/val index subsets
+    (the reference's ``setup_fold_index`` Subsets, ``data_interface.py:416-419``)."""
+
+    def __init__(self, base: MILDataModule, train_idx: np.ndarray, val_idx: np.ndarray) -> None:
+        self.base = base
+        self.train_idx = train_idx
+        self.val_idx = val_idx
+        self.n_classes = base.n_classes
+        self.batch_size = base.batch_size
+        self.eval_pad = base.eval_pad
+
+    def train_batches(self, epoch: int) -> Iterator[Batch]:
+        ds = self.base.dataset("train")
+        rng = np.random.default_rng((self.base.seed, epoch))
+        labels = [ds.get_labels()[i] for i in self.train_idx]
+        if self.base.use_imbalanced_sampler:
+            order = self.train_idx[ImbalancedSampler(labels, self.n_classes).sample_epoch(rng)]
+        else:
+            order = rng.permutation(self.train_idx)
+        bs = self.batch_size
+        for start in range(0, len(order) - bs + 1, bs):
+            items = [self.base._get(ds, int(i), rng) for i in order[start : start + bs]]
+            yield collate(items, eval_pad="exact")
+
+    def eval_batches(self, mode: str, batch_size: int = 1) -> Iterator[Batch]:
+        if mode == "val":
+            ds = self.base.dataset("train")
+            rng = np.random.default_rng(0)
+            for i in self.val_idx:
+                yield collate([self.base._get(ds, int(i), rng)], eval_pad=self.eval_pad)
+        else:
+            yield from self.base.eval_batches(mode, batch_size)
+
+    def steps_per_epoch(self) -> int:
+        return len(self.train_idx) // self.batch_size
+
+    def dataset(self, mode: str):
+        return self.base.dataset(mode)
+
+
+@dataclass
+class KFoldResult:
+    fold_metrics: list[dict]
+    ensemble_metrics: dict
+    checkpoint_paths: list[Path]
+
+
+def run_kfold(
+    build_trainer: Callable[[object, str], "Trainer"],  # (datamodule, log_dir) -> Trainer
+    dm: MILDataModule,
+    nfold: int,
+    export_dir: str | Path,
+    seed: int = 2021,
+) -> KFoldResult:
+    """Per-fold fit+test, then logit-mean ensemble over fold checkpoints
+    (ref ``KFoldLoop`` / ``EnsembleVotingModel``, ``train_loop.py:31-192,413-495``)."""
+    from sklearn.model_selection import KFold
+
+    export_dir = Path(export_dir)
+    export_dir.mkdir(parents=True, exist_ok=True)
+    n = len(dm.dataset("train"))
+    splits = list(KFold(n_splits=nfold, shuffle=True, random_state=seed).split(np.arange(n)))
+
+    fold_metrics: list[dict] = []
+    ckpt_paths: list[Path] = []
+    template_trainer = None
+    for fold, (train_idx, val_idx) in enumerate(splits):
+        fold_dm = FoldDataModule(dm, np.asarray(train_idx), np.asarray(val_idx))
+        trainer = build_trainer(fold_dm, str(export_dir / f"fold{fold}"))
+        template_trainer = trainer
+        trainer.fit()
+        metrics = trainer.test()
+        fold_metrics.append(metrics)
+        path = export_dir / f"model.{fold}.pt"
+        save_pytree(path, {"params": trainer.params})
+        ckpt_paths.append(path)
+
+    # Ensemble: mean logits over fold checkpoints on the test set.
+    trainer = template_trainer
+    fold_params = [load_pytree(p, {"params": trainer.params})["params"] for p in ckpt_paths]
+
+    def ensemble_logits(bags: jax.Array) -> jax.Array:
+        logits = [
+            trainer.model.apply({"params": fp}, bags, deterministic=True) for fp in fold_params
+        ]
+        logits = [l[1] if isinstance(l, tuple) else l for l in logits]
+        return jnp.mean(jnp.stack(logits), axis=0)
+
+    efn = jax.jit(ensemble_logits)
+    probs_l, labels_l, names, patients = [], [], [], []
+    for batch in dm.eval_batches("test"):
+        logits = efn(jnp.asarray(batch.bags))
+        probs_l.append(np.asarray(jax.nn.softmax(logits, axis=-1)))
+        labels_l.append(batch.labels)
+        names += batch.names
+        patients += batch.patients
+    probs = np.concatenate(probs_l)
+    labels = np.concatenate(labels_l)
+    agg = aggregate_patients(probs, labels, names, patients, dm.n_classes)
+    ensemble = {
+        "ensemble_auc": auroc(probs, labels, dm.n_classes),
+        "ensemble_patient_auc": auroc(agg.scores, agg.targets, dm.n_classes),
+        **classification_report(agg.scores, agg.targets, dm.n_classes).as_dict("ensemble_patient_"),
+    }
+    (export_dir / "ensemble_metrics.json").write_text(json.dumps(ensemble, indent=2))
+    return KFoldResult(fold_metrics, ensemble, ckpt_paths)
