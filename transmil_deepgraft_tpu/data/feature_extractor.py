@@ -1,0 +1,89 @@
+"""Offline feature extraction: tiles -> backbone embeddings -> per-slide HDF5.
+
+Equivalent of the reference's ``datasets/feature_extractor.py:64-237`` /
+``utils/extract_features.py`` (RetCCL-2048 extraction over cohort BLOCKS dirs in
+batches of 100 tiles, AMP autocast, coords from filenames, archive write): here
+tiles stream through a jitted flax backbone in fixed batches (padding the last
+batch so one program compiles), optionally with N stain-augmented copies
+(``--augment``, ref ``:198-234``), writing ``{features, coords}`` HDF5 groups
+that ``FeatureBagDataset`` reads back.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transmil_deepgraft_tpu.data.jpg_bags import JPGMILDataset, _load_tile, parse_coords
+from transmil_deepgraft_tpu.data.transforms import imagenet_normalize, train_augment
+
+
+def extract_slide_features(
+    embed_fn,
+    tile_paths: list[Path],
+    *,
+    batch_size: int = 100,
+    tile_size: int = 224,
+    augment_rng: Optional[np.random.Generator] = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Embed all tiles of one slide; returns (features [N, D], coords [N, 2])."""
+    coords = np.array([parse_coords(p.name) for p in tile_paths], np.int32)
+    feats: list[np.ndarray] = []
+    for start in range(0, len(tile_paths), batch_size):
+        chunk = tile_paths[start : start + batch_size]
+        imgs = []
+        for p in chunk:
+            img = _load_tile(p, tile_size)
+            if augment_rng is not None:
+                img = train_augment(img, augment_rng)
+            imgs.append(imagenet_normalize(img))
+        batch = np.stack(imgs)
+        n = batch.shape[0]
+        if n < batch_size:  # pad so one program compiles for all batches
+            batch = np.concatenate(
+                [batch, np.zeros((batch_size - n, *batch.shape[1:]), np.float32)]
+            )
+        out = np.asarray(embed_fn(jnp.asarray(batch)))[:n]
+        feats.append(out)
+    return np.concatenate(feats), coords
+
+
+def extract_cohort(
+    backbone,
+    variables,
+    dataset: JPGMILDataset,
+    out_dir: str | Path,
+    *,
+    batch_size: int = 100,
+    n_augment: int = 0,
+    seed: int = 0,
+) -> list[Path]:
+    """Extract every slide of a cohort to ``<out_dir>/<slide>.h5`` (+ ``_aug{i}``
+    copies when ``n_augment`` > 0)."""
+    import h5py
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    embed_fn = jax.jit(lambda x: backbone.apply(variables, x, train=False))
+
+    written: list[Path] = []
+    for i in range(len(dataset)):
+        name = dataset.names[i]
+        tiles = dataset.tiles_of(i)
+        variants: list[tuple[str, Optional[np.random.Generator]]] = [(name, None)]
+        for a in range(n_augment):
+            variants.append((f"{name}_aug{a}", np.random.default_rng((seed, i, a))))
+        for vname, rng in variants:
+            feats, coords = extract_slide_features(
+                embed_fn, tiles, batch_size=batch_size, augment_rng=rng
+            )
+            path = out_dir / f"{vname}.h5"
+            with h5py.File(path, "w") as f:
+                f.create_dataset("features", data=feats)
+                f.create_dataset("coords", data=coords)
+            written.append(path)
+    return written

@@ -14,8 +14,10 @@ import flax.linen as nn
 from transmil_deepgraft_tpu.models.attmil import AttMIL
 from transmil_deepgraft_tpu.models.chowder import Chowder
 from transmil_deepgraft_tpu.models.clam import CLAM_MB, CLAM_SB
+from transmil_deepgraft_tpu.models.ctmil import CTMIL
 from transmil_deepgraft_tpu.models.dtfd import DTFDMIL
 from transmil_deepgraft_tpu.models.mdmil import MDMIL
+from transmil_deepgraft_tpu.models.monai_mil import MonaiMIL
 from transmil_deepgraft_tpu.models.transformer_mil import TransformerMIL
 from transmil_deepgraft_tpu.models.transmil import TransMIL, TransMILAttention
 
@@ -29,6 +31,9 @@ MODEL_REGISTRY: dict[str, Callable[..., nn.Module]] = {
     "DTFD": DTFDMIL,
     "DTFDMIL": DTFDMIL,
     "MDMIL": MDMIL,
+    "CTMIL": CTMIL,
+    "MonaiMILModel": MonaiMIL,
+    "AttTrans": MonaiMIL,
 }
 
 
@@ -38,7 +43,7 @@ def create_model(name: str, n_classes: int, in_features: int = 2048, out_feature
         raise KeyError(f"unknown model '{name}'; available: {sorted(MODEL_REGISTRY)}")
     cls = MODEL_REGISTRY[name]
     common: dict[str, Any] = {"n_classes": n_classes, "in_features": in_features}
-    if name in ("TransMIL", "AttMIL", "TransformerMIL", "MDMIL"):
+    if name in ("TransMIL", "AttMIL", "TransformerMIL", "MDMIL", "CTMIL"):
         common["out_features"] = out_features
     return cls(**common, **kwargs)
 
@@ -48,9 +53,11 @@ __all__ = [
     "Chowder",
     "CLAM_MB",
     "CLAM_SB",
+    "CTMIL",
     "DTFDMIL",
     "MDMIL",
     "MODEL_REGISTRY",
+    "MonaiMIL",
     "TransMIL",
     "TransMILAttention",
     "TransformerMIL",

@@ -57,3 +57,55 @@ def aggregate_patients(
         targets=np.array([patient_target[p] for p in order]),
         slide_scores=per_patient,
     )
+
+
+def _positive_filter_mean(score: np.ndarray, n_classes: int) -> np.ndarray:
+    """Binary positive-argmax filter then mean (the reference's repeated motif)."""
+    if n_classes == 2:
+        positive = score.argmax(-1) == 1
+        if positive.any():
+            score = score[positive]
+    return score.mean(0) if score.ndim > 1 else score
+
+
+def aggregate_tiles_to_patients(
+    probs: np.ndarray,
+    targets: np.ndarray,
+    slide_names: list[str],
+    patients: list[str],
+    n_classes: int,
+) -> PatientAggregate:
+    """Two-level aggregation for the classic per-tile pipeline
+    (ref ``model_interface_classic.py:643-700``): tiles -> slide scores with the
+    binary positive-tile filter, then slides -> patient scores with the
+    positive-slide filter."""
+    probs = np.asarray(probs)
+    targets = np.asarray(targets).ravel()
+
+    per: dict[str, dict[str, list[np.ndarray]]] = {}
+    patient_target: dict[str, int] = {}
+    order: list[str] = []
+    for p, s, pr, t in zip(patients, slide_names, probs, targets):
+        if p not in per:
+            per[p] = {}
+            patient_target[p] = int(t)
+            order.append(p)
+        per[p].setdefault(s, []).append(pr)
+
+    agg_scores = []
+    slide_scores: dict[str, list[tuple[str, np.ndarray]]] = {}
+    for p in order:
+        slide_level = []
+        slide_scores[p] = []
+        for s, tile_probs in per[p].items():
+            sscore = _positive_filter_mean(np.stack(tile_probs), n_classes)
+            slide_level.append(sscore)
+            slide_scores[p].append((s, sscore))
+        agg_scores.append(_positive_filter_mean(np.stack(slide_level), n_classes))
+
+    return PatientAggregate(
+        patients=order,
+        scores=np.stack(agg_scores),
+        targets=np.array([patient_target[p] for p in order]),
+        slide_scores=slide_scores,
+    )

@@ -65,6 +65,7 @@ class TrainerConfig:
     swa_start_frac: float = 0.75
     fast_dev_run: bool = False
     use_tensorboard: bool = False
+    tile_level: bool = False  # classic per-tile pipeline: tile->slide->patient agg
 
 
 def mutable_lr_scale() -> optax.GradientTransformation:
@@ -341,7 +342,12 @@ class Trainer:
         slide_auc = auroc(probs, labels, self.n_classes)
         slide_report = classification_report(probs, labels, self.n_classes)
 
-        agg = aggregate_patients(probs, labels, names, patients, self.n_classes)
+        if self.cfg.tile_level:
+            from transmil_deepgraft_tpu.train.aggregation import aggregate_tiles_to_patients
+
+            agg = aggregate_tiles_to_patients(probs, labels, names, patients, self.n_classes)
+        else:
+            agg = aggregate_patients(probs, labels, names, patients, self.n_classes)
         patient_auc = auroc(agg.scores, agg.targets, self.n_classes)
         patient_report = classification_report(agg.scores, agg.targets, self.n_classes)
 

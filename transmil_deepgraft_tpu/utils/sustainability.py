@@ -1,0 +1,147 @@
+"""Sustainability / energy telemetry.
+
+Equivalent of the reference's ImpactTracker + codecarbon subsystem
+(``code/sustainability_{train,test}.py``, ``.codecarbon.config``): since TPU
+chips expose no userland power counters here, energy is accounted as
+step-time x chip-TDP (SURVEY.md section 5 recommendation), with kgCO2 derived
+from a configurable grid intensity. ``EnergyTracker`` wraps any loop;
+``benchmark_models`` reproduces the reference's synthetic-bag model sweep
+(``sustainability_test.py:180-245``) writing per-model power CSVs.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+# v5e chip TDP is not published; a conservative per-chip envelope.
+DEFAULT_CHIP_WATTS = 200.0
+DEFAULT_KGCO2_PER_KWH = 0.4  # world-average-ish grid intensity
+
+
+@dataclass
+class EnergyReport:
+    seconds: float
+    kwh: float
+    kg_co2: float
+    steps: int = 0
+
+    def as_dict(self) -> dict:
+        return vars(self)
+
+
+@dataclass
+class EnergyTracker:
+    chip_watts: float = DEFAULT_CHIP_WATTS
+    kgco2_per_kwh: float = DEFAULT_KGCO2_PER_KWH
+    n_chips: int = 1
+    _t0: float = field(default=0.0, init=False)
+    _elapsed: float = field(default=0.0, init=False)
+    steps: int = field(default=0, init=False)
+
+    def __enter__(self) -> "EnergyTracker":
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._elapsed += time.perf_counter() - self._t0
+
+    def step(self, n: int = 1) -> None:
+        self.steps += n
+
+    def report(self) -> EnergyReport:
+        kwh = self._elapsed * self.chip_watts * self.n_chips / 3.6e6
+        return EnergyReport(
+            seconds=self._elapsed,
+            kwh=kwh,
+            kg_co2=kwh * self.kgco2_per_kwh,
+            steps=self.steps,
+        )
+
+
+def benchmark_models(
+    out_dir: str | Path,
+    model_names: tuple[str, ...] = ("TransMIL", "AttMIL", "TransformerMIL", "CLAM_SB"),
+    bag_sizes: tuple[int, ...] = (600, 800, 1000),
+    in_features: int = 2048,
+    n_classes: int = 2,
+    reps: int = 10,
+    mode: str = "inference",
+) -> Path:
+    """Per-model inference/training energy sweep over synthetic bags; writes
+    ``{out_dir}/sustainability_{mode}.csv`` (the reference's kWh CSVs)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from transmil_deepgraft_tpu.models import create_model
+    from transmil_deepgraft_tpu.train.losses import cross_entropy
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rows = []
+    rng = np.random.default_rng(0)
+    for name in model_names:
+        for bag in bag_sizes:
+            model = create_model(name, n_classes=n_classes, in_features=in_features)
+            x = jnp.asarray(rng.standard_normal((1, bag, in_features), dtype=np.float32))
+            variables = model.init(
+                {"params": jax.random.key(0), "shuffle": jax.random.key(1)}, x
+            )
+            if mode == "inference":
+                fn = jax.jit(lambda v, x: model.apply(v, x))
+                np.asarray(jax.tree.leaves(fn(variables, x))[0])  # compile
+                with EnergyTracker() as tracker:
+                    for _ in range(reps):
+                        out = fn(variables, x)
+                        tracker.step()
+                    jax.block_until_ready(out)
+            else:
+                tx = optax.adam(1e-4)
+                params = variables["params"]
+                opt_state = tx.init(params)
+                labels = jax.nn.one_hot(jnp.zeros(1, jnp.int32), n_classes)
+
+                @jax.jit
+                def step(p, s, x):
+                    def loss(p):
+                        logits = model.apply({"params": p}, x)
+                        if isinstance(logits, tuple):
+                            logits = logits[1]
+                        return cross_entropy(logits, labels)
+
+                    g = jax.grad(loss)(p)
+                    u, s = tx.update(g, s, p)
+                    return optax.apply_updates(p, u), s
+
+                params, opt_state = step(params, opt_state, x)  # compile
+                with EnergyTracker() as tracker:
+                    for _ in range(reps):
+                        params, opt_state = step(params, opt_state, x)
+                        tracker.step()
+                    jax.block_until_ready(params)
+            rep = tracker.report()
+            rows.append(
+                {
+                    "model": name,
+                    "bag_size": bag,
+                    "mode": mode,
+                    "reps": reps,
+                    "seconds": round(rep.seconds, 4),
+                    "kwh": rep.kwh,
+                    "kg_co2": rep.kg_co2,
+                }
+            )
+
+    path = out_dir / f"sustainability_{mode}.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    (out_dir / f"sustainability_{mode}.json").write_text(json.dumps(rows, indent=2))
+    return path
