@@ -90,7 +90,13 @@ def build(cfg, log_dir: str | None = None):
         fast_dev_run=bool(cfg.fast_dev_run),
     )
 
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    # dp must divide the global batch; use the largest compatible device count
+    # (the reference's DDP analogously requires batch % world_size == 0).
+    import math
+
+    batch_size = int(cfg.Data.train_dataloader.batch_size or 1)
+    dp = math.gcd(batch_size, len(jax.devices()))
+    mesh = make_mesh(jax.devices()[:dp], dp=dp) if dp > 1 else None
     trainer = Trainer(
         model, tx, dm,
         n_classes=n_classes, loss_fn=loss_fn, config=tcfg, mesh=mesh, model_name=model_name,

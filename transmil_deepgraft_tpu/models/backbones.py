@@ -91,6 +91,11 @@ def create_backbone(name: str, out_features: int = 512) -> tuple[Optional[nn.Mod
         from transmil_deepgraft_tpu.models.vit import vit_base
 
         return vit_base(), 768
+    if name == "efficientnet":
+        # ref: hub efficientnet + Linear(1280, out) + GELU (model_interface.py:260-267)
+        from transmil_deepgraft_tpu.models.efficientnet import efficientnet_b0
+
+        return ProjectedBackbone(efficientnet_b0(), out_features, activation="gelu"), out_features
     raise KeyError(f"unknown backbone '{name}'")
 
 

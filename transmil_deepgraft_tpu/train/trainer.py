@@ -372,6 +372,27 @@ class Trainer:
 
     def test(self) -> dict:
         result = self.evaluate("test", save_results=True, stage_name="test")
+        # figure artifacts (ref model_interface.py:814-821)
+        try:
+            from transmil_deepgraft_tpu.utils.plots import (
+                plot_confusion_matrix,
+                plot_pr_curves,
+                plot_roc_curves,
+            )
+
+            agg = result["aggregate"]
+            for fn, stem in (
+                (plot_roc_curves, "test_patient_roc"),
+                (plot_pr_curves, "test_patient_pr"),
+            ):
+                fn(agg.scores, agg.targets, self.n_classes, self.log_dir / stem, self.cfg.task)
+            plot_confusion_matrix(
+                agg.scores, agg.targets, self.n_classes,
+                self.log_dir / "test_patient_confusion", self.cfg.task,
+                threshold=result["thresholds"][1] if self.n_classes <= 2 else 0.5,
+            )
+        except Exception as e:  # figures must never fail a test run
+            print(f"[trainer] figure export skipped: {e}")
         summary = {
             "test_loss": result["loss"],
             "test_auc": result["auroc"],
