@@ -45,9 +45,10 @@ def test_transmil_return_attn():
     scores = attn.tile_scores()
     assert scores.shape == (1, 8, BAG)  # (B, heads, H) like the reference slice
     assert np.isfinite(np.asarray(scores)).all()
-    # attention rows are a distribution over padded keys
+    # attention rows are a near-distribution over padded keys (exact up to the
+    # Newton-Schulz pinv approximation error, like the reference's)
     total = np.asarray(attn.row).sum(-1)
-    np.testing.assert_allclose(total, 1.0, rtol=1e-3)
+    np.testing.assert_allclose(total, 1.0, rtol=5e-3)
 
 
 def test_transmil_grads_flow():

@@ -72,6 +72,16 @@ def build(cfg, log_dir: str | None = None):
         seed=int(cfg.General.seed or 2021),
         synthetic=synthetic,
         fine_tune=bool(cfg.fine_tune),
+        dataset_name=str(cfg.Data.dataset_name or "custom"),
+        fold=int(cfg.Data.fold or 0),
+        # dataset variant by model (ref data_interface.py:166-177): spatial grids
+        # for CTMIL/resnet50 heads; precomputed feature bags otherwise (the main
+        # path even for retccl-backbone configs). 'images'/'tiles' opt in via
+        # cfg.Data.variant for in-graph-backbone / classic runs.
+        variant=str(
+            cfg.Data.variant
+            or ("spatial" if model_name in ("CTMIL", "resnet50") else "features")
+        ),
     )
 
     model = create_model(model_name, n_classes=n_classes, in_features=in_features, out_features=out_features)

@@ -77,7 +77,13 @@ class MILDataModule:
         seed: int = 2021,
         synthetic: dict | None = None,
         fine_tune: bool = False,
+        dataset_name: str = "custom",
+        fold: int = 0,
+        variant: str = "features",  # features | spatial | images | tiles
     ) -> None:
+        self.dataset_name = dataset_name
+        self.fold = fold
+        self.variant = variant
         self.data_dir = data_dir
         self.label_path = label_path
         self.n_classes = n_classes
@@ -106,7 +112,32 @@ class MILDataModule:
             if mode in ("train", "fine_tune"):
                 return _TrainViewSynthetic(ds, self.max_bag_size, self.mixup)
             return _EvalViewSynthetic(ds)
+        if self.dataset_name == "camelyon":
+            from transmil_deepgraft_tpu.data.camelyon import CamelyonDataset
+
+            return CamelyonDataset(
+                self.data_dir, self.label_path, mode, fold=self.fold,
+                max_bag_size=self.max_bag_size,
+            )
         actual_mode = "fine_tune" if (mode == "train" and self.fine_tune) else mode
+        if self.variant == "spatial":
+            # CTMIL / spatial-resnet50 heads (ref data_interface.py:166-177)
+            from transmil_deepgraft_tpu.data.local_features import LocalFeatureBagDataset
+
+            return LocalFeatureBagDataset(
+                self.data_dir, self.label_path, actual_mode, self.n_classes,
+                slide_patient_path=self.slide_patient_path,
+                feature_extractor=self.feature_extractor,
+            )
+        if self.variant in ("images", "tiles"):
+            from transmil_deepgraft_tpu.data.jpg_bags import JPGMILDataset, JPGTileDataset
+
+            bags = JPGMILDataset(
+                self.data_dir, self.label_path, actual_mode, self.n_classes,
+                slide_patient_path=self.slide_patient_path,
+                max_bag_size=self.max_bag_size,
+            )
+            return JPGTileDataset(bags) if self.variant == "tiles" else bags
         return FeatureBagDataset(
             self.data_dir,
             self.label_path,

@@ -18,6 +18,7 @@ from transmil_deepgraft_tpu.models.ctmil import CTMIL
 from transmil_deepgraft_tpu.models.dtfd import DTFDMIL
 from transmil_deepgraft_tpu.models.mdmil import MDMIL
 from transmil_deepgraft_tpu.models.monai_mil import MonaiMIL
+from transmil_deepgraft_tpu.models.spatial_resnet import SpatialResNetMIL
 from transmil_deepgraft_tpu.models.transformer_mil import TransformerMIL
 from transmil_deepgraft_tpu.models.transmil import TransMIL, TransMILAttention
 
@@ -34,6 +35,7 @@ MODEL_REGISTRY: dict[str, Callable[..., nn.Module]] = {
     "CTMIL": CTMIL,
     "MonaiMILModel": MonaiMIL,
     "AttTrans": MonaiMIL,
+    "resnet50": SpatialResNetMIL,
 }
 
 
