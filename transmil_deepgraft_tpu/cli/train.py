@@ -84,7 +84,10 @@ def build(cfg, log_dir: str | None = None):
         ),
     )
 
-    model = create_model(model_name, n_classes=n_classes, in_features=in_features, out_features=out_features)
+    model = create_model(
+        model_name, n_classes=n_classes, in_features=in_features,
+        out_features=out_features, precision=cfg.General.precision or None,
+    )
     loss_fn = create_loss(str(cfg.Loss.base_loss or "CrossEntropyLoss"), n_classes)
 
     grad_acc = int(cfg.General.grad_acc or 1)

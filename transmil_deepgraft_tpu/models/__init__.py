@@ -39,14 +39,30 @@ MODEL_REGISTRY: dict[str, Callable[..., nn.Module]] = {
 }
 
 
-def create_model(name: str, n_classes: int, in_features: int = 2048, out_features: int = 512, **kwargs: Any) -> nn.Module:
-    """Instantiate a bag-level MIL head by config name (``cfg.Model.name``)."""
+def create_model(
+    name: str,
+    n_classes: int,
+    in_features: int = 2048,
+    out_features: int = 512,
+    precision: int | str | None = None,
+    **kwargs: Any,
+) -> nn.Module:
+    """Instantiate a bag-level MIL head by config name (``cfg.Model.name``).
+
+    ``precision`` in (16, 'bf16', '16-mixed') selects bfloat16 compute for
+    models that support dtype plumbing (the reference's fp16 AMP equivalent,
+    ``cfg.General.precision``).
+    """
     if name not in MODEL_REGISTRY:
         raise KeyError(f"unknown model '{name}'; available: {sorted(MODEL_REGISTRY)}")
     cls = MODEL_REGISTRY[name]
     common: dict[str, Any] = {"n_classes": n_classes, "in_features": in_features}
     if name in ("TransMIL", "AttMIL", "TransformerMIL", "MDMIL", "CTMIL"):
         common["out_features"] = out_features
+    if precision in (16, "16", "bf16", "16-mixed") and name == "TransMIL":
+        import jax.numpy as jnp
+
+        common["dtype"] = jnp.bfloat16
     return cls(**common, **kwargs)
 
 

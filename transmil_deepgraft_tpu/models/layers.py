@@ -16,7 +16,7 @@ pure name/transpose mapping.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -43,6 +43,7 @@ class NystromAttentionLayer(nn.Module):
     residual_kernel_size: int = 33
     dropout: float = 0.7
     use_pallas: Optional[bool] = None  # None -> fused kernels on TPU backends
+    dtype: Any = jnp.float32  # computation dtype for projections / big matmuls
 
     @nn.compact
     def __call__(
@@ -64,7 +65,7 @@ class NystromAttentionLayer(nn.Module):
         x_p, pad = pad_to_landmark_multiple(x, self.num_landmarks)
         np_ = x_p.shape[1]
 
-        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x_p)
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x_p)
         qkv = qkv.reshape(b, np_, 3, self.heads, self.dim_head)
         q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # (b, h, np, d)
 
@@ -105,8 +106,8 @@ class NystromAttentionLayer(nn.Module):
                 jnp.float32,
             )
             # (b, h, np, d) -> NHWC with heads as channels: (b, np, d, h)
-            v_nhwc = jnp.transpose(v, (0, 2, 3, 1)).astype(jnp.float32)
-            kern = res_kernel[:, None, None, :]  # (ks, 1, 1, heads) HWIO depthwise
+            v_nhwc = jnp.transpose(v, (0, 2, 3, 1)).astype(self.dtype)
+            kern = res_kernel[:, None, None, :].astype(self.dtype)  # (ks, 1, 1, heads) HWIO
             res = jax.lax.conv_general_dilated(
                 v_nhwc,
                 kern,
@@ -115,10 +116,10 @@ class NystromAttentionLayer(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=self.heads,
             )
-            out = out + jnp.transpose(res, (0, 3, 1, 2))
+            out = out + jnp.transpose(res, (0, 3, 1, 2)).astype(out.dtype)
 
         out = jnp.moveaxis(out, 1, 2).reshape(b, np_, inner)
-        out = nn.Dense(self.dim, name="to_out")(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out.astype(self.dtype))
         out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
         out = out[:, -n:]  # strip the front pad
 
@@ -129,6 +130,7 @@ class TransLayer(nn.Module):
     """Pre-norm residual Nystrom-attention block (ref ``TransMIL.py:19-57``)."""
 
     dim: int = 512
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -144,9 +146,10 @@ class TransLayer(nn.Module):
             heads=8,
             dim_head=self.dim // 8,
             num_landmarks=self.dim // 2,
+            dtype=self.dtype,
             name="attn",
         )(normed, deterministic=deterministic, return_row_index=return_row_index)
-        return x + out, attn_row, pad
+        return x + out.astype(x.dtype), attn_row, pad
 
 
 class PPEG(nn.Module):
@@ -164,12 +167,13 @@ class PPEG(nn.Module):
     """
 
     dim: int = 512
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, h: int, w: int) -> jax.Array:
         b, n, c = x.shape
         cls_token, feat = x[:, :1], x[:, 1:]
-        grid = feat.reshape(b, h, w, c)
+        grid = feat.reshape(b, h, w, c).astype(self.dtype)
 
         init_k = nn.initializers.lecun_normal()
         w7 = self.param("proj", init_k, (7, 7, 1, self.dim))
@@ -190,13 +194,13 @@ class PPEG(nn.Module):
 
         out = jax.lax.conv_general_dilated(
             grid,
-            combined,
+            combined.astype(self.dtype),
             window_strides=(1, 1),
             padding=[(3, 3), (3, 3)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.dim,
-        ) + bias
-        out = out.reshape(b, h * w, c)
+        ) + bias.astype(self.dtype)
+        out = out.astype(x.dtype).reshape(b, h * w, c)
         return jnp.concatenate([cls_token, out], axis=1)
 
 
@@ -276,7 +280,7 @@ class TransformerBlock(nn.Module):
 
 
 def make_fc1(
-    in_features: int, out_features: int
+    in_features: int, out_features: int, dtype: Any = jnp.float32
 ) -> Callable[[jax.Array, bool], jax.Array]:
     """Input-projection MLP spec per in_features (ref ``TransMIL.py:100-133``).
 
@@ -294,31 +298,31 @@ def make_fc1(
 
     def apply(x: jax.Array, deterministic: bool = True) -> jax.Array:
         if in_features == 2048:
-            h = nn.Dense(in_features // 2, name="fc1_0")(x)
+            h = nn.Dense(in_features // 2, dtype=dtype, name="fc1_0")(x)
             h = nn.gelu(h)
             h = nn.LayerNorm(name="fc1_norm0")(h)
-            h = nn.Dense(out_features, name="fc1_1")(h)
+            h = nn.Dense(out_features, dtype=dtype, name="fc1_1")(h)
             h = nn.gelu(h)
         elif in_features == 1024:
-            h = nn.Dense(in_features, name="fc1_0")(x)
+            h = nn.Dense(in_features, dtype=dtype, name="fc1_0")(x)
             h = nn.gelu(h)
             h = nn.Dropout(rate=0.2)(h, deterministic=deterministic)
             h = nn.LayerNorm(name="fc1_norm0")(h)
-            h = nn.Dense(out_features, name="fc1_1")(h)
+            h = nn.Dense(out_features, dtype=dtype, name="fc1_1")(h)
             h = nn.gelu(h)
             h = nn.Dropout(rate=0.6)(h, deterministic=deterministic)
             h = nn.LayerNorm(name="fc1_norm1")(h)
         elif in_features == 768:
-            h = nn.Dense(in_features, name="fc1_0")(x)
+            h = nn.Dense(in_features, dtype=dtype, name="fc1_0")(x)
             h = nn.gelu(h)
             h = nn.Dropout(rate=0.6)(h, deterministic=deterministic)
             h = nn.LayerNorm(name="fc1_norm0")(h)
-            h = nn.Dense(out_features, name="fc1_1")(h)
+            h = nn.Dense(out_features, dtype=dtype, name="fc1_1")(h)
             h = nn.gelu(h)
             h = nn.Dropout(rate=0.6)(h, deterministic=deterministic)
             h = nn.LayerNorm(name="fc1_norm1")(h)
         else:
-            h = nn.Dense(out_features, name="fc1_0")(x)
+            h = nn.Dense(out_features, dtype=dtype, name="fc1_0")(x)
             h = nn.gelu(h)
         return h
 

@@ -16,7 +16,7 @@ reference's ``padding+1`` row index (its cls token actually sits at index
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import flax.linen as nn
 import jax
@@ -51,6 +51,7 @@ class TransMIL(nn.Module):
     in_features: int = 2048
     out_features: int = 512
     attn_query: str = "ref"  # 'ref' (reference-exact row pad+1) or 'cls' (row pad)
+    dtype: Any = jnp.float32  # bf16 for mixed precision (cfg.General.precision 16)
 
     @nn.compact
     def __call__(
@@ -62,8 +63,8 @@ class TransMIL(nn.Module):
     ):
         if x.ndim == 2:
             x = x[None]
-        h = x.astype(jnp.float32)
-        h = make_fc1(self.in_features, self.out_features)(h, deterministic)
+        h = x.astype(self.dtype)
+        h = make_fc1(self.in_features, self.out_features, self.dtype)(h, deterministic)
 
         n_tokens = h.shape[1]
         h, grid_h, grid_w = duplicate_pad_square(h)  # [B, H*W, D]
@@ -74,10 +75,10 @@ class TransMIL(nn.Module):
         )
         h = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, self.out_features)), h], axis=1)
 
-        h, _, _ = TransLayer(dim=self.out_features, name="layer1")(
+        h, _, _ = TransLayer(dim=self.out_features, dtype=self.dtype, name="layer1")(
             h, deterministic=deterministic
         )
-        h = PPEG(dim=self.out_features, name="pos_layer")(h, grid_h, grid_w)
+        h = PPEG(dim=self.out_features, dtype=self.dtype, name="pos_layer")(h, grid_h, grid_w)
 
         # The landmark front-pad for the (grid_h*grid_w + 1)-token sequence; the
         # reference computes the same quantity before layer2 (TransMIL.py:190-193).
@@ -89,11 +90,11 @@ class TransMIL(nn.Module):
         if return_attn:
             row_index = pad + (1 if self.attn_query == "ref" else 0)
 
-        h, attn_row, _ = TransLayer(dim=self.out_features, name="layer2")(
+        h, attn_row, _ = TransLayer(dim=self.out_features, dtype=self.dtype, name="layer2")(
             h, deterministic=deterministic, return_row_index=row_index
         )
 
-        h = nn.LayerNorm(name="norm")(h)[:, 0]
+        h = nn.LayerNorm(name="norm")(h.astype(jnp.float32))[:, 0]
         logits = nn.Dense(self.n_classes, name="fc")(h)
 
         if return_attn:

@@ -87,35 +87,43 @@ def nystrom_attention(
     if n % m != 0:
         raise ValueError(f"sequence length {n} not a multiple of landmarks {m}")
 
-    compute_dtype = jnp.float32
-    q = q.astype(compute_dtype) * (d ** -0.5)
-    k = k.astype(compute_dtype)
-    v = v.astype(compute_dtype)
+    # Mixed precision: the big n-dim matmuls run in the input dtype (bf16 on the
+    # MXU when callers pass bf16) with fp32 accumulation; softmax and the pinv
+    # iteration stay fp32.
+    in_dtype = q.dtype
+    acc = jnp.float32
+    q = q * jnp.asarray(d ** -0.5, in_dtype)
+    q_lm = _segment_means(q.astype(acc), m).astype(in_dtype)  # (b, h, m, d)
+    k_lm = _segment_means(k.astype(acc), m).astype(in_dtype)  # (b, h, m, d)
 
-    q_lm = _segment_means(q, m)  # (b, h, m, d)
-    k_lm = _segment_means(k, m)  # (b, h, m, d)
+    # Three attention kernels, each row-softmaxed in fp32.
+    sim1 = jnp.einsum("bhnd,bhmd->bhnm", q, k_lm, preferred_element_type=acc)
+    sim2 = jnp.einsum("bhmd,bhld->bhml", q_lm, k_lm, preferred_element_type=acc)
+    sim3 = jnp.einsum("bhmd,bhnd->bhmn", q_lm, k, preferred_element_type=acc)
 
-    # Three attention kernels, each row-softmaxed.
-    sim1 = jnp.einsum("bhnd,bhmd->bhnm", q, k_lm, preferred_element_type=compute_dtype)
-    sim2 = jnp.einsum("bhmd,bhld->bhml", q_lm, k_lm, preferred_element_type=compute_dtype)
-    sim3 = jnp.einsum("bhmd,bhnd->bhmn", q_lm, k, preferred_element_type=compute_dtype)
+    attn1 = jax.nn.softmax(sim1, axis=-1)  # (b, h, n, m) fp32
+    attn2 = jax.nn.softmax(sim2, axis=-1)  # (b, h, m, m) fp32
+    attn3 = jax.nn.softmax(sim3, axis=-1)  # (b, h, m, n) fp32
 
-    attn1 = jax.nn.softmax(sim1, axis=-1)  # (b, h, n, m)
-    attn2 = jax.nn.softmax(sim2, axis=-1)  # (b, h, m, m)
-    attn3 = jax.nn.softmax(sim3, axis=-1)  # (b, h, m, n)
-
-    attn2_inv = newton_schulz_pinv(attn2, pinv_iterations)  # (b, h, m, m)
+    attn2_inv = newton_schulz_pinv(attn2, pinv_iterations)  # fp32
 
     # (attn1 @ attn2_inv) @ (attn3 @ v): both orderings are O(n m d); this one
-    # keeps the big n-dim matmuls as two MXU-friendly (n,m)x(m,m) and (n,m)x(m,d).
-    attn3_v = jnp.einsum("bhmn,bhnd->bhmd", attn3, v, preferred_element_type=compute_dtype)
-    left = jnp.einsum("bhnm,bhml->bhnl", attn1, attn2_inv, preferred_element_type=compute_dtype)
-    out = jnp.einsum("bhnm,bhmd->bhnd", left, attn3_v, preferred_element_type=compute_dtype)
+    # keeps the big n-dim matmuls as MXU-friendly (n,m)x(m,m) and (n,m)x(m,d).
+    attn3_p = attn3.astype(in_dtype)
+    attn3_v = jnp.einsum("bhmn,bhnd->bhmd", attn3_p, v, preferred_element_type=acc)
+    left = jnp.einsum(
+        "bhnm,bhml->bhnl", attn1.astype(in_dtype), attn2_inv.astype(in_dtype),
+        preferred_element_type=acc,
+    )
+    out = jnp.einsum(
+        "bhnm,bhmd->bhnd", left.astype(in_dtype), attn3_v.astype(in_dtype),
+        preferred_element_type=acc,
+    )
 
     cls_row = None
     if return_row_index is not None:
-        row_left = left[:, :, return_row_index, :]  # (b, h, m)
-        cls_row = jnp.einsum("bhm,bhmn->bhn", row_left, attn3, preferred_element_type=compute_dtype)
+        row_left = left[:, :, return_row_index, :]  # (b, h, m) fp32
+        cls_row = jnp.einsum("bhm,bhmn->bhn", row_left, attn3, preferred_element_type=acc)
 
     return NystromOutput(out=out, cls_row=cls_row)
 

@@ -68,7 +68,7 @@ def _landmark_attn_kernel(qlm_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
     l_next = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
 
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
     l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
@@ -118,8 +118,9 @@ def _query_lm_kernel(q_ref, klm_ref, b_ref, o_ref):
     s = s - jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s)
     p = p / jnp.sum(p, axis=1, keepdims=True)
+    b = b_ref[0]
     o_ref[0] = jax.lax.dot_general(
-        p, b_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(b.dtype), b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
 
 
@@ -153,28 +154,28 @@ def query_landmark_attention(q: jax.Array, k_lm: jax.Array, b: jax.Array, *, blo
 def _fused_forward(q, k, v, num_landmarks, pinv_iterations, block_n):
     b, h, n, d = q.shape
     m = num_landmarks
-    qs = q.astype(jnp.float32) * (d ** -0.5)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    in_dtype = q.dtype
+    qs = q * jnp.asarray(d ** -0.5, in_dtype)
 
-    q_lm = _segment_means(qs, m)
-    k_lm = _segment_means(kf, m)
+    q_lm = _segment_means(qs.astype(jnp.float32), m)
+    k_lm = _segment_means(k.astype(jnp.float32), m)
 
     attn2 = jax.nn.softmax(
         jnp.einsum("bhmd,bhld->bhml", q_lm, k_lm, preferred_element_type=jnp.float32), axis=-1
     )
-    attn2_inv = newton_schulz_pinv(attn2, pinv_iterations)  # (b, h, m, m)
+    attn2_inv = newton_schulz_pinv(attn2, pinv_iterations)  # (b, h, m, m) fp32
 
-    qlm_f = q_lm.reshape(b * h, m, d)
-    k_f = kf.reshape(b * h, n, d)
-    v_f = vf.reshape(b * h, n, d)
-    attn3_v = landmark_attention(qlm_f, k_f, v_f, block_n=block_n)  # (bh, m, d)
+    qlm_f = q_lm.astype(in_dtype).reshape(b * h, m, d)
+    k_f = k.reshape(b * h, n, d)
+    v_f = v.reshape(b * h, n, d)
+    attn3_v = landmark_attention(qlm_f, k_f, v_f, block_n=block_n)  # (bh, m, d) fp32
 
     bmat = jnp.matmul(
         attn2_inv.reshape(b * h, m, m), attn3_v, preferred_element_type=jnp.float32
-    )  # (bh, m, d)
+    ).astype(in_dtype)  # (bh, m, d)
     out = query_landmark_attention(
-        qs.reshape(b * h, n, d), k_lm.reshape(b * h, m, d), bmat, block_n=block_n
+        qs.reshape(b * h, n, d), k_lm.astype(in_dtype).reshape(b * h, m, d), bmat,
+        block_n=block_n,
     )
     return out.reshape(b, h, n, d)
 
