@@ -160,6 +160,18 @@ def main(argv: list[str] | None = None) -> dict:
         print(json.dumps(result.ensemble_metrics, default=float))
         return result.ensemble_metrics
 
+    if args.stage == "fine_tune":
+        # ref fine_tune.py: load the ckpt of --epoch, then a 20-epoch fit over
+        # train + test_mixin data (dm fine_tune mode is already set).
+        trainer.cfg.epochs = int(cfg.General.ft_epochs or 20)
+        ckpt_dir = Path(trainer.cfg.log_dir) / "checkpoints"
+        if args.epoch not in (None, "last"):
+            matches = sorted(ckpt_dir.glob(f"epoch={int(args.epoch):02d}*.ckpt"))
+            if matches:
+                trainer.load_checkpoint(matches[0])
+        elif (ckpt_dir / "last.ckpt").exists():
+            trainer.load_checkpoint(ckpt_dir / "last.ckpt")
+
     if args.stage in ("train", "fine_tune"):
         if args.resume_training:
             last = trainer.ckpts.last_path()

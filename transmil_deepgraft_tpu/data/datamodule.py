@@ -99,6 +99,33 @@ class MILDataModule:
         self.fine_tune = fine_tune
         self._datasets: dict[str, Any] = {}
         self._epoch = 0
+        self._bagstore = None
+        self._bagstore_labels: list[int] | None = None
+
+    def enable_bagstore(self, path: str | None = None, rebuild: bool = False, n_threads: int = 8) -> None:
+        """Switch train batching to the native mmap bag store (built once from
+        the train split's HDF5 files): threaded sampling + batch assembly in C++
+        instead of h5py-per-item reads. Mixup and the post-pad reshuffle are not
+        applied on this path."""
+        from pathlib import Path as _P
+
+        from transmil_deepgraft_tpu.data.bagstore import BagStore, write_bagstore
+
+        ds = self.dataset("train")
+        store_path = _P(path) if path else _P(self.data_dir) / "train_cohort.bags"
+        if rebuild or not store_path.exists():
+            from transmil_deepgraft_tpu.data.feature_bags import load_bag_file
+
+            bags, coords = [], []
+            for f in ds.files:
+                b, c = load_bag_file(f)
+                bags.append(b)
+                coords.append(c)
+            write_bagstore(store_path, bags, coords)
+        self._bagstore = BagStore(store_path)
+        self._bagstore_labels = ds.get_labels()
+        self._bagstore_meta = (list(ds.names), list(ds.patients))
+        self._bagstore_threads = n_threads
 
     # -- dataset construction -------------------------------------------------
     def _make_dataset(self, mode: str):
@@ -163,6 +190,24 @@ class MILDataModule:
         else:
             order = rng.permutation(len(ds))
         bs = self.batch_size
+        if self._bagstore is not None:
+            names, patients = self._bagstore_meta
+            labels = np.asarray(self._bagstore_labels, np.int32)
+            k = self.max_bag_size
+            for start in range(0, len(order) - bs + 1, bs):
+                idxs = order[start : start + bs]
+                bags = self._bagstore.assemble_batch(
+                    idxs, k=k, seed=int(rng.integers(2**31)), n_threads=self._bagstore_threads
+                )
+                yield Batch(
+                    bags=bags,
+                    labels=labels[idxs],
+                    lengths=np.full(bs, k, np.int32),
+                    names=[names[i] for i in idxs],
+                    patients=[patients[i] for i in idxs],
+                    coords=[np.zeros((0, 2), np.int32)] * bs,
+                )
+            return
         for start in range(0, len(order) - bs + 1, bs):
             items = [self._get(ds, int(i), rng) for i in order[start : start + bs]]
             yield collate(items, eval_pad="exact")  # train bags are already fixed-size

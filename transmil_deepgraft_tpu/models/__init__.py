@@ -39,6 +39,13 @@ MODEL_REGISTRY: dict[str, Callable[..., nn.Module]] = {
 }
 
 
+def create_classic_model(backbone_name: str, n_classes: int):
+    """Per-tile classifier for the classic pipeline (ref ModelInterface_Classic)."""
+    from transmil_deepgraft_tpu.models.classic import classic_model
+
+    return classic_model(backbone_name, n_classes)
+
+
 def create_model(
     name: str,
     n_classes: int,

@@ -17,6 +17,11 @@ class MetricLogger:
         self._csv_path = self.dir / "metrics.csv"
         self._jsonl_path = self.dir / "metrics.jsonl"
         self._fields: list[str] = []
+        if self._csv_path.exists():  # resuming into an existing run dir
+            with open(self._csv_path) as f:
+                header = f.readline().strip()
+            if header:
+                self._fields = header.split(",")
         self._tb = None
         if use_tensorboard:
             try:
@@ -38,14 +43,16 @@ class MetricLogger:
                 with open(self._csv_path) as f:
                     rows = list(csv.DictReader(f))
             with open(self._csv_path, "w", newline="") as f:
-                w = csv.DictWriter(f, fieldnames=self._fields)
+                w = csv.DictWriter(f, fieldnames=self._fields, restval="", extrasaction="ignore")
                 w.writeheader()
                 for r in rows:
                     w.writerow(r)
                 w.writerow(record)
         else:
             with open(self._csv_path, "a", newline="") as f:
-                csv.DictWriter(f, fieldnames=self._fields).writerow(record)
+                csv.DictWriter(
+                    f, fieldnames=self._fields, restval="", extrasaction="ignore"
+                ).writerow(record)
         if self._tb is not None:
             for k, v in metrics.items():
                 s = _scalar(v)
