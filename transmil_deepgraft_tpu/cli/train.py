@@ -113,6 +113,7 @@ def build(cfg, log_dir: str | None = None):
     trainer = Trainer(
         model, tx, dm,
         n_classes=n_classes, loss_fn=loss_fn, config=tcfg, mesh=mesh, model_name=model_name,
+        needs_hessian="adahessian" in str(cfg.Optimizer.opt or "").lower(),
     )
     return trainer
 

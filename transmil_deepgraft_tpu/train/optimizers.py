@@ -238,10 +238,9 @@ def create_optimizer(
     elif name == "adafactor":
         tx = optax.adafactor(lr if lr else None)
     elif name == "adahessian":
-        raise NotImplementedError(
-            "adahessian needs Hessian-vector products wired through the train step; "
-            "use radam/adamw (tracked for a later round)"
-        )
+        from transmil_deepgraft_tpu.train.adahessian import adahessian
+
+        tx = adahessian(lr, betas=betas, eps=eps, weight_decay=weight_decay)
     elif name == "rmsprop":
         tx = optax.chain(
             optax.add_decayed_weights(weight_decay, mask=mask) if weight_decay else optax.identity(),

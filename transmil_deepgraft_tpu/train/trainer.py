@@ -132,7 +132,9 @@ class Trainer:
         config: TrainerConfig,
         mesh=None,
         model_name: str = "TransMIL",
+        needs_hessian: bool = False,  # adahessian: Hutchinson diag through the step
     ) -> None:
+        self.needs_hessian = needs_hessian
         self.model = model
         self.tx = optax.chain(tx, mutable_lr_scale())
         self.dm = datamodule
@@ -187,7 +189,7 @@ class Trainer:
         tx = self.tx
 
         def step(params, opt_state, bags, labels, rng):
-            drop_rng, shuffle_rng = jax.random.split(rng)
+            drop_rng, shuffle_rng, hess_rng = jax.random.split(rng, 3)
             rngs = {"dropout": drop_rng, "shuffle": shuffle_rng}
 
             def loss_of(p):
@@ -200,7 +202,13 @@ class Trainer:
                 return loss, logits
 
             (loss, logits), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
+            if self.needs_hessian:
+                from transmil_deepgraft_tpu.train.adahessian import hutchinson_diag_hessian
+
+                diag = hutchinson_diag_hessian(lambda p: loss_of(p)[0], params, hess_rng)
+                updates, opt_state = tx.update(grads, opt_state, params, hessian_diag=diag)
+            else:
+                updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, jax.nn.softmax(logits, axis=-1)
 
