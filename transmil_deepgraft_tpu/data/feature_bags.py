@@ -53,6 +53,22 @@ def load_bag_file(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
         feats = torch.load(path, map_location="cpu", weights_only=True)
         feats = np.asarray(feats, dtype=np.float32)
         return feats, np.zeros((len(feats), 2), np.int32)
+    if suffix == ".zarr":
+        # zarr group with {data|features, coords} (ref zarr_feature_dataloader);
+        # gated: zarr is not part of this image's baked deps.
+        try:
+            import zarr
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "reading .zarr feature stores requires the optional 'zarr' package"
+            ) from e
+        g = zarr.open(str(path), mode="r")
+        key = "features" if "features" in g else "data"
+        feats = np.asarray(g[key][:], np.float32)
+        coords = (
+            np.asarray(g["coords"][:]) if "coords" in g else np.zeros((len(feats), 2), np.int32)
+        )
+        return feats, coords
     raise ValueError(f"unsupported bag file type: {path}")
 
 

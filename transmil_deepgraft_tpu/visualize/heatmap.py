@@ -130,6 +130,51 @@ def save_heatmap_jpeg(
     return path
 
 
+def deep_feature_factorization(
+    feats: np.ndarray, n_concepts: int = 4, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deep Feature Factorization (ref ``visualize_dff.py``): NMF over the
+    (N, D) tile features -> per-tile concept weights (N, K) + concept bases
+    (K, D). Features are shifted non-negative before factorization."""
+    from sklearn.decomposition import NMF
+
+    x = np.asarray(feats, np.float64)
+    x = x - x.min()
+    model = NMF(n_components=n_concepts, init="nndsvda", random_state=seed, max_iter=400)
+    w = model.fit_transform(x)  # (N, K)
+    return w, model.components_
+
+
+def export_topk_tiles(
+    scores: np.ndarray,
+    coords: np.ndarray,
+    slide_name: str,
+    out_csv: str | Path,
+    k: int = 10,
+) -> "Path":
+    """Top-k attended tiles per slide as CSV (ref ``test_visualize.py`` top-k
+    tile export during trainer.test): columns slide, rank, x, y, score."""
+    import pandas as pd
+
+    scores = np.asarray(scores).reshape(-1)
+    coords = np.asarray(coords)
+    k = min(k, len(scores), len(coords))
+    order = np.argsort(-scores)[:k]
+    df = pd.DataFrame(
+        {
+            "slide": slide_name,
+            "rank": np.arange(k),
+            "x": coords[order, 0],
+            "y": coords[order, 1],
+            "score": scores[order],
+        }
+    )
+    out_csv = Path(out_csv)
+    out_csv.parent.mkdir(parents=True, exist_ok=True)
+    df.to_csv(out_csv, index=False)
+    return out_csv
+
+
 class Visualizer:
     """Per-slide heatmap driver (the reference's ``Visualize.run``,
     ``visualize_mil.py:439-626``): forward with attention, assemble attention and
@@ -161,6 +206,9 @@ class Visualizer:
 
         attn_path = save_heatmap_jpeg(attn_map, self.out_dir / f"{slide_name}_mil_attn.jpg")
         cam_path = save_heatmap_jpeg(cam_map, self.out_dir / f"{slide_name}_mil_gradcam.jpg")
+        export_topk_tiles(
+            attn_scores, coords, slide_name, self.out_dir / f"{slide_name}_topk_tiles.csv"
+        )
         return {
             "logits": np.asarray(logits),
             "attention": attn_scores,
