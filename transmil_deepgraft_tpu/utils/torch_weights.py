@@ -91,6 +91,87 @@ def _put_bn(params: dict, stats: dict, path: list[str], field: str, v: np.ndarra
     # num_batches_tracked ignored
 
 
+def convert_transmil_state_dict(state_dict: Mapping[str, Any], in_features: int = 2048) -> dict:
+    """torch TransMIL state dict -> flax params for
+    :class:`transmil_deepgraft_tpu.models.transmil.TransMIL`.
+
+    Key layout of the reference model (``models/TransMIL.py:78-155`` with the
+    lucidrains NystromAttention submodule; Lightning ckpts prefix everything
+    with ``model.``):
+      _fc1.{i}.weight/bias            input MLP (Linear / LayerNorm indices vary
+                                      by in_features variant)
+      cls_token                       (1, 1, 512)
+      layer{1,2}.norm.weight/bias     pre-norm LN
+      layer{1,2}.attn.to_qkv.weight   (1536, 512)
+      layer{1,2}.attn.to_out.0.weight/bias
+      layer{1,2}.attn.res_conv.weight (heads, 1, ks, 1) depthwise value conv
+      pos_layer.proj{,1,2}.weight     (512, 1, k, k) depthwise PPEG convs + bias
+      norm.weight/bias; _fc.weight/bias
+    """
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    p: dict = {}
+
+    def lin(dst: str, src: str) -> None:
+        p[dst] = {"kernel": _np(sd[f"{src}.weight"]).T}
+        if f"{src}.bias" in sd:
+            p[dst]["bias"] = _np(sd[f"{src}.bias"])
+
+    def ln(dst: str, src: str) -> None:
+        p[dst] = {"scale": _np(sd[f"{src}.weight"]), "bias": _np(sd[f"{src}.bias"])}
+
+    # fc1 variants (ref TransMIL.py:100-133): sequential indices of Linear/LN.
+    if in_features == 2048:
+        lin("fc1_0", "_fc1.0")
+        ln("fc1_norm0", "_fc1.2")
+        lin("fc1_1", "_fc1.3")
+    elif in_features in (1024, 768):
+        lin("fc1_0", "_fc1.0")
+        ln("fc1_norm0", "_fc1.3")
+        lin("fc1_1", "_fc1.4")
+        if "_fc1.7.weight" in sd:
+            ln("fc1_norm1", "_fc1.7")
+    else:
+        lin("fc1_0", "_fc1.0")
+
+    p["cls_token"] = _np(sd["cls_token"])
+
+    for layer in ("layer1", "layer2"):
+        ln(f"{layer}.norm", f"{layer}.norm")
+        attn: dict = {}
+        attn["to_qkv"] = {"kernel": _np(sd[f"{layer}.attn.to_qkv.weight"]).T}
+        attn["to_out"] = {
+            "kernel": _np(sd[f"{layer}.attn.to_out.0.weight"]).T,
+            "bias": _np(sd[f"{layer}.attn.to_out.0.bias"]),
+        }
+        # torch res_conv weight (heads, 1, ks, 1) -> flax param (ks, heads)
+        rc = _np(sd[f"{layer}.attn.res_conv.weight"])
+        attn["res_conv"] = rc[:, 0, :, 0].T
+        p[f"{layer}.attn"] = attn
+
+    pos: dict = {}
+    for tname, fname in (("proj", "proj"), ("proj1", "proj1"), ("proj2", "proj2")):
+        w = _np(sd[f"pos_layer.{tname}.weight"])  # (C, 1, k, k)
+        pos[fname] = w.transpose(2, 3, 1, 0)  # (k, k, 1, C)
+        pos[f"{fname}_bias"] = _np(sd[f"pos_layer.{tname}.bias"])
+    p["pos_layer"] = pos
+
+    ln("norm", "norm")
+    lin("fc", "_fc")
+
+    # nest dotted keys (merging shared prefixes like layer1.norm / layer1.attn)
+    nested: dict = {}
+    for k, v in p.items():
+        parts = k.split(".")
+        node = nested
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        if parts[-1] in node and isinstance(node[parts[-1]], dict) and isinstance(v, dict):
+            node[parts[-1]].update(v)
+        else:
+            node[parts[-1]] = v
+    return {"params": nested}
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a .pth/.ckpt with torch (CPU); returns the raw state dict
     (unwraps Lightning's ``state_dict`` key)."""
