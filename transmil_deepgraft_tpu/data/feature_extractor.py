@@ -68,7 +68,10 @@ def extract_cohort(
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    embed_fn = jax.jit(lambda x: backbone.apply(variables, x, train=False))
+    # variables as an explicit arg (not a closure) so params stay jit inputs,
+    # not giant baked-in HLO constants
+    jit_embed = jax.jit(lambda v, x: backbone.apply(v, x, train=False))
+    embed_fn = lambda x: jit_embed(variables, x)
 
     written: list[Path] = []
     for i in range(len(dataset)):
