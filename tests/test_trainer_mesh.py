@@ -1,0 +1,35 @@
+"""Trainer data-parallel mesh path on the 8-device CPU mesh."""
+
+import jax
+import numpy as np
+
+from transmil_deepgraft_tpu.data.datamodule import MILDataModule
+from transmil_deepgraft_tpu.models import AttMIL
+from transmil_deepgraft_tpu.parallel.mesh import make_mesh
+from transmil_deepgraft_tpu.train.losses import create_loss
+from transmil_deepgraft_tpu.train.optimizers import create_optimizer
+from transmil_deepgraft_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def _build(tmp_path, mesh):
+    dm = MILDataModule(
+        n_classes=2, max_bag_size=32, batch_size=8,
+        synthetic={"n_train": 16, "n_val": 8, "n_test": 8, "bag_size": 32, "feature_size": 32, "signal": 2.0},
+        seed=0,
+    )
+    model = AttMIL(n_classes=2, in_features=32, out_features=16, attn_dim=8)
+    tx = create_optimizer(opt="adam", lr=1e-3, weight_decay=0.0)
+    cfg = TrainerConfig(epochs=2, log_dir=str(tmp_path), task="norm_rest")
+    return Trainer(model, tx, dm, n_classes=2, loss_fn=create_loss(), config=cfg,
+                   mesh=mesh, model_name="AttMIL")
+
+
+def test_dp8_matches_single_device(tmp_path):
+    mesh = make_mesh(jax.devices(), dp=8, sp=1)
+    t_mesh = _build(tmp_path / "mesh", mesh)
+    h_mesh = t_mesh.fit()
+    t_single = _build(tmp_path / "single", None)
+    h_single = t_single.fit()
+    # same data/seed/optimizer: dp=8 sharded training must match single-device
+    assert abs(h_mesh["loss"] - h_single["loss"]) < 1e-4, (h_mesh["loss"], h_single["loss"])
+    assert abs(h_mesh["val_auc"] - h_single["val_auc"]) < 1e-6

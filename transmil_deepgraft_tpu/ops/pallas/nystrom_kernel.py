@@ -37,12 +37,13 @@ NEG_INF = -1e30
 _LANES = 128
 
 
-def _landmark_attn_kernel(qlm_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+def _landmark_attn_kernel(qlm_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, n_real, block_n):
     """Online-softmax flash kernel: queries = landmarks (resident), keys stream.
 
     Grid (bh, n_tiles); n_tiles is the sequential reduction axis.
     qlm_ref: (m, d), k_ref/v_ref: (block_n, d), o_ref: (m, d).
     Scratch: m_ref/l_ref (m, _LANES) f32, acc_ref (m, d) f32.
+    Key positions >= n_real (wrapper padding to a big block size) are masked out.
     """
     j = pl.program_id(1)
 
@@ -59,6 +60,9 @@ def _landmark_attn_kernel(qlm_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (m, block_n)
+    if n_real % block_n != 0:  # mask padded key columns in the final tiles
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col + j * block_n < n_real, s, NEG_INF)
 
     m_prev = m_ref[:, :1]  # (m, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -79,16 +83,24 @@ def _landmark_attn_kernel(qlm_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
 
 
 def landmark_attention(q_lm: jax.Array, k: jax.Array, v: jax.Array, *, block_n: int = 1024) -> jax.Array:
-    """softmax(q_lm @ k^T, axis=-1) @ v, shapes (bh, m, d), (bh, n, d), (bh, n, d)."""
+    """softmax(q_lm @ k^T, axis=-1) @ v, shapes (bh, m, d), (bh, n, d), (bh, n, d).
+
+    n need not divide block_n: keys are zero-padded to the block boundary and
+    masked inside the kernel (big MXU tiles regardless of bag length)."""
     bh, m, d = q_lm.shape
     _, n, _ = k.shape
-    block_n = min(block_n, n)
-    if n % block_n != 0:
-        raise ValueError(f"n={n} not divisible by block_n={block_n}")
+    block_n = min(block_n, max(n, 1))
+    n_real = n
+    pad = (-n) % block_n
+    if pad:
+        cfg = ((0, 0), (0, pad), (0, 0))
+        k = jnp.pad(k, cfg)
+        v = jnp.pad(v, cfg)
+        n = n + pad
 
     grid = (bh, n // block_n)
     return pl.pallas_call(
-        _landmark_attn_kernel,
+        functools.partial(_landmark_attn_kernel, n_real=n_real, block_n=block_n),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -125,17 +137,23 @@ def _query_lm_kernel(q_ref, klm_ref, b_ref, o_ref):
 
 
 def query_landmark_attention(q: jax.Array, k_lm: jax.Array, b: jax.Array, *, block_n: int = 1024) -> jax.Array:
-    """softmax(q @ k_lm^T, axis=-1) @ b; q (bh, n, d), k_lm (bh, m, d), b (bh, m, d)."""
+    """softmax(q @ k_lm^T, axis=-1) @ b; q (bh, n, d), k_lm (bh, m, d), b (bh, m, d).
+
+    n need not divide block_n: padded query rows compute garbage that the
+    wrapper slices off."""
     bh, n, d = q.shape
     _, m, _ = k_lm.shape
-    block_n = min(block_n, n)
-    if n % block_n != 0:
-        raise ValueError(f"n={n} not divisible by block_n={block_n}")
+    block_n = min(block_n, max(n, 1))
+    n_real = n
+    pad = (-n) % block_n
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        n = n + pad
 
     def kernel(q_ref, klm_ref, b_ref, o_ref):
         _query_lm_kernel(q_ref, klm_ref, b_ref, o_ref)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(bh, n // block_n),
         in_specs=[
@@ -149,16 +167,12 @@ def query_landmark_attention(q: jax.Array, k_lm: jax.Array, b: jax.Array, *, blo
             dimension_semantics=("parallel", "parallel"),
         ),
     )(q, k_lm, b)
+    return out[:, :n_real] if pad else out
 
 
 def _fused_forward(q, k, v, num_landmarks, pinv_iterations, block_n):
     b, h, n, d = q.shape
     m = num_landmarks
-    if n % block_n != 0:  # largest power-of-two divisor of n, capped at block_n
-        bn = 1
-        while bn * 2 <= block_n and n % (bn * 2) == 0:
-            bn *= 2
-        block_n = bn
     in_dtype = q.dtype
     qs = q * jnp.asarray(d ** -0.5, in_dtype)
 
