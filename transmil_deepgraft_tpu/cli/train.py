@@ -91,7 +91,15 @@ def build(cfg, log_dir: str | None = None):
     loss_fn = create_loss(str(cfg.Loss.base_loss or "CrossEntropyLoss"), n_classes)
 
     grad_acc = int(cfg.General.grad_acc or 1)
-    tx = create_optimizer_from_config(cfg.Optimizer, grad_accum_steps=grad_acc)
+    if model_name in ("DTFD", "DTFDMIL"):
+        # two tier-wise Adam optimizers + MultiStepLR (ref model_interface_dtfd)
+        from transmil_deepgraft_tpu.train.optimizers import create_dtfd_optimizer
+
+        steps = max(1, (int(cfg.Data.synthetic.n_train or 32) if cfg.Data.synthetic else 100)
+                    // int(cfg.Data.train_dataloader.batch_size or 1))
+        tx = create_dtfd_optimizer(steps_per_epoch=steps)
+    else:
+        tx = create_optimizer_from_config(cfg.Optimizer, grad_accum_steps=grad_acc)
 
     tcfg = TrainerConfig(
         epochs=int(cfg.General.epochs or 200),

@@ -262,6 +262,38 @@ def create_optimizer(
     return tx
 
 
+def create_dtfd_optimizer(
+    steps_per_epoch: int,
+    lr: float = 1e-4,
+    weight_decay: float = 1e-2,
+    milestone_epochs: tuple[int, ...] = (100,),
+    gamma: float = 0.2,
+) -> optax.GradientTransformation:
+    """DTFD's two-optimizer setup (ref ``model_interface_dtfd.py:594-607``):
+    Adam(1e-4, wd 1e-2) separately over tier-1 (dimreduction/attention/classifier)
+    and tier-2 (attCls) parameter groups, each with MultiStepLR(milestones=[100],
+    gamma=0.2). Expressed as optax.multi_transform over the param partition; the
+    step schedule converts epochs -> steps via ``steps_per_epoch``."""
+    boundaries = {int(e * steps_per_epoch): gamma for e in milestone_epochs}
+    schedule = optax.piecewise_constant_schedule(lr, boundaries)
+
+    def make_adam():
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(),
+            optax.scale_by_schedule(schedule),
+            optax.scale(-1.0),
+        )
+
+    def label_fn(params):
+        return jax.tree.map_with_path(
+            lambda path, _: "tier2" if (path and getattr(path[0], "key", None) == "attCls") else "tier1",
+            params,
+        )
+
+    return optax.multi_transform({"tier1": make_adam(), "tier2": make_adam()}, label_fn)
+
+
 def create_optimizer_from_config(optimizer_cfg: Any, params: Any = None, grad_accum_steps: int = 1) -> optax.GradientTransformation:
     """Build from a ``cfg.Optimizer`` section (opt/lr/opt_eps/opt_betas/momentum/weight_decay)."""
     return create_optimizer(
