@@ -69,3 +69,34 @@ def test_fused_gradients_match_reference(rng):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3)
+
+
+def test_packed_allheads_matches_reference(rng):
+    from transmil_deepgraft_tpu.ops.pallas.nystrom_kernel import (
+        nystrom_attention_fused_packed,
+    )
+
+    b, n, h, d, m = 1, 160, 2, 32, 16
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3, h, d)).astype(np.float32))
+    out = nystrom_attention_fused_packed(qkv, m, 6, 64)  # interpret via fixture
+    q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))
+    ref = jnp.moveaxis(nystrom_attention(q, k, v, num_landmarks=m).out, 1, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    def loss(qkv):
+        return jnp.sum(nystrom_attention_fused_packed(qkv, m, 6, 64) ** 2)
+
+    g = jax.grad(loss)(qkv)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_packed_layer_path_matches_xla_layer(rng):
+    from transmil_deepgraft_tpu.models.layers import NystromAttentionLayer
+
+    x = jnp.asarray(rng.standard_normal((1, 150, 64)).astype(np.float32))
+    layer_x = NystromAttentionLayer(dim=64, heads=2, dim_head=32, num_landmarks=16, use_pallas=False)
+    layer_p = NystromAttentionLayer(dim=64, heads=2, dim_head=32, num_landmarks=16, use_pallas=True)
+    v = layer_x.init({"params": jax.random.key(0)}, x)
+    ox = np.asarray(layer_x.apply(v, x)[0])
+    op = np.asarray(layer_p.apply(v, x)[0])  # interpret mode via fixture
+    np.testing.assert_allclose(op, ox, rtol=5e-4, atol=5e-4)

@@ -70,23 +70,22 @@ class NystromAttentionLayer(nn.Module):
 
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x_p)
         qkv = qkv.reshape(b, np_, 3, self.heads, self.dim_head)
-        q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # (b, h, np, d)
 
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = False
+        cls_row = None
         if use_pallas and return_row_index is None:
             from transmil_deepgraft_tpu.ops.pallas.nystrom_kernel import (
-                nystrom_attention_fused,
+                nystrom_attention_fused_packed,
             )
 
-            block_n = next(bn for bn in (2048, 1024, 512, 256, 128, 64, 32, 16, 8, np_)
-                           if np_ % bn == 0)
-            out = nystrom_attention_fused(
-                q, k, v, self.num_landmarks, self.pinv_iterations, block_n
-            )
-            result = NystromOutput(out=out, cls_row=None)
+            # packed-layout kernels: no (b, h, n, d) transposes in HBM
+            out_bnhd = nystrom_attention_fused_packed(
+                qkv, self.num_landmarks, self.pinv_iterations, 1024
+            )  # (b, np, h, d) f32
         else:
+            q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))
             result = nystrom_attention(
                 q,
                 k,
@@ -95,7 +94,10 @@ class NystromAttentionLayer(nn.Module):
                 pinv_iterations=self.pinv_iterations,
                 return_row_index=return_row_index,
             )
-            out = result.out  # (b, h, np, d), float32
+            cls_row = result.cls_row
+            out_bnhd = jnp.moveaxis(result.out, 1, 2)  # (b, np, h, d) f32
+
+        out = out_bnhd.reshape(b, np_, inner)
 
         if self.residual:
             # Per-head depthwise conv over the sequence axis, shared across the
@@ -106,7 +108,8 @@ class NystromAttentionLayer(nn.Module):
             # the VPU's 128 lanes (~8 ms at n=41k). Instead run ONE 1-D
             # depthwise conv over all heads*dim_head=512 channels, repeating
             # each head's kernel across its 64 feature columns - identical math,
-            # full lane occupancy (~25x faster).
+            # full lane occupancy (~25x faster). The value plane of the packed
+            # qkv tensor is already (b, n, h, d), so no transposes either.
             ks = self.residual_kernel_size
             res_kernel = self.param(
                 "res_conv",
@@ -114,8 +117,7 @@ class NystromAttentionLayer(nn.Module):
                 (ks, self.heads),
                 jnp.float32,
             )
-            # (b, h, np, d) -> (b, np, h*d) channels h-major
-            v_nwc = jnp.moveaxis(v, 1, 2).reshape(b, np_, inner).astype(self.dtype)
+            v_nwc = qkv[:, :, 2].reshape(b, np_, inner).astype(self.dtype)
             kern = jnp.repeat(res_kernel, self.dim_head, axis=1)[:, None, :]  # (ks, 1, h*d)
             res = jax.lax.conv_general_dilated(
                 v_nwc,
@@ -125,15 +127,13 @@ class NystromAttentionLayer(nn.Module):
                 dimension_numbers=("NWC", "WIO", "NWC"),
                 feature_group_count=inner,
             )
-            res = jnp.moveaxis(res.reshape(b, np_, self.heads, self.dim_head), 2, 1)
             out = out + res.astype(out.dtype)
 
-        out = jnp.moveaxis(out, 1, 2).reshape(b, np_, inner)
         out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out.astype(self.dtype))
         out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
         out = out[:, -n:]  # strip the front pad
 
-        return out, result.cls_row, pad
+        return out, cls_row, pad
 
 
 class TransLayer(nn.Module):

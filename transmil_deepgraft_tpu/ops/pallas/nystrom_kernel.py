@@ -57,6 +57,11 @@ def _landmark_attn_kernel(qlm_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *
     k = k_ref[0]
     v = v_ref[0]
 
+    if n_real % block_n != 0:
+        # zero padded V rows (Pallas pads trailing blocks with undefined data:
+        # 0 * NaN would poison the p @ v contraction) and mask padded keys.
+        row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(row + j * block_n < n_real, v, 0)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (m, block_n)
@@ -91,14 +96,9 @@ def landmark_attention(q_lm: jax.Array, k: jax.Array, v: jax.Array, *, block_n: 
     _, n, _ = k.shape
     block_n = min(block_n, max(n, 1))
     n_real = n
-    pad = (-n) % block_n
-    if pad:
-        cfg = ((0, 0), (0, pad), (0, 0))
-        k = jnp.pad(k, cfg)
-        v = jnp.pad(v, cfg)
-        n = n + pad
-
-    grid = (bh, n // block_n)
+    # Non-divisible n: Pallas pads the trailing block internally (no HBM pad
+    # copies); the kernel masks the out-of-range key columns itself.
+    grid = (bh, pl.cdiv(n, block_n))
     return pl.pallas_call(
         functools.partial(_landmark_attn_kernel, n_real=n_real, block_n=block_n),
         grid=grid,
@@ -144,18 +144,13 @@ def query_landmark_attention(q: jax.Array, k_lm: jax.Array, b: jax.Array, *, blo
     bh, n, d = q.shape
     _, m, _ = k_lm.shape
     block_n = min(block_n, max(n, 1))
-    n_real = n
-    pad = (-n) % block_n
-    if pad:
-        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
-        n = n + pad
 
     def kernel(q_ref, klm_ref, b_ref, o_ref):
         _query_lm_kernel(q_ref, klm_ref, b_ref, o_ref)
 
     out = pl.pallas_call(
         kernel,
-        grid=(bh, n // block_n),
+        grid=(bh, pl.cdiv(n, block_n)),
         in_specs=[
             pl.BlockSpec((1, block_n, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -167,7 +162,172 @@ def query_landmark_attention(q: jax.Array, k_lm: jax.Array, b: jax.Array, *, blo
             dimension_semantics=("parallel", "parallel"),
         ),
     )(q, k_lm, b)
-    return out[:, :n_real] if pad else out
+    return out
+
+
+def _landmark_attn_kernel_packed(qlm_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, n_real, block_n):
+    """All-heads packed variant: blocks are (block_n, h, d) slices of the
+    (b, n, h, d) K/V planes (direct views of the qkv projection - no HBM
+    transposes). Online softmax runs per head inside the kernel.
+
+    qlm_ref: (h, m, d) resident; o_ref: (h, m, d); scratch m/l: (h*m, _LANES),
+    acc: (h, m, d).
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = qlm_ref[...]  # (h, m, d)
+    # VMEM-local head-major transpose (Mosaic batched matmul needs batch dims
+    # in the same position on both operands)
+    k = jnp.swapaxes(k_ref[0], 0, 1)  # (h, block_n, d)
+    v = jnp.swapaxes(v_ref[0], 0, 1)
+    h, m, d = q.shape
+
+    if n_real % block_n != 0:
+        # zero padded V rows (undefined pad data: 0 * NaN poisons p @ v)
+        row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        v = jnp.where(row + j * block_n < n_real, v, 0)
+    # s[h, m, block_n] = q[h] @ k[h].T  (batched over heads)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (h, m, block_n)
+    if n_real % block_n != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col + j * block_n < n_real, s, NEG_INF)
+
+    m_prev = m_ref[:, :1].reshape(h, m, 1)
+    l_prev = l_ref[:, :1].reshape(h, m, 1)
+    m_cur = jnp.max(s, axis=2, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)  # (h, m, block_n)
+    l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+
+    # pv[h, m, d] = p[h] @ v[h]
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    acc_ref[...] = acc_ref[...] * alpha + pv
+    m_ref[...] = jnp.broadcast_to(m_next.reshape(h * m, 1), m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_next.reshape(h * m, 1), l_ref.shape)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _finalize():
+        o_ref[...] = (acc_ref[...] / l_ref[:, :1].reshape(h, m, 1)).astype(o_ref.dtype)
+
+
+def _query_lm_kernel_packed(q_ref, klm_ref, b_ref, o_ref):
+    """out[n, h, d] = softmax_m(q[n, h] @ k_lm[h]^T) @ B[h]; all heads per block."""
+    q = jnp.swapaxes(q_ref[0], 0, 1)  # (h, block_n, d) VMEM transpose
+    klm = klm_ref[...]  # (h, m, d)
+    bmat = b_ref[...]  # (h, m, d)
+    s = jax.lax.dot_general(
+        q, klm, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (h, block_n, m)
+    s = s - jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=2, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(bmat.dtype), bmat, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (h, block_n, d)
+    o_ref[0] = jnp.swapaxes(out, 0, 1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def nystrom_attention_fused_packed(
+    qkv: jax.Array,
+    num_landmarks: int = 256,
+    pinv_iterations: int = 6,
+    block_n: int = 1024,
+    scale: float | None = None,
+) -> jax.Array:
+    """Fused Nystrom attention over the packed (b, n, 3, h, d) qkv projection.
+
+    The q/k/v planes are consumed as (b, n, h, d) contiguous views (plane slices
+    of the projection output) and the kernels process all heads per block, so no
+    (b, h, n, d) transposes ever hit HBM. q is scaled by ``scale`` (default
+    d**-0.5). Returns (b, n, h, d) f32 - reshape to (b, n, h*d) is free for the
+    out-projection.
+    """
+    b, n, three, h, d = qkv.shape
+    assert three == 3
+    m = num_landmarks
+    block_n = min(block_n, max(n, 1))
+    scale = d ** -0.5 if scale is None else scale
+    acc = jnp.float32
+
+    q_plane = qkv[:, :, 0]  # (b, n, h, d) contiguous views
+    k_plane = qkv[:, :, 1]
+    v_plane = qkv[:, :, 2]
+
+    # landmarks (m-row outputs; one cheap strided pass)
+    seg = n // m
+    q_lm = jnp.moveaxis(
+        jnp.mean(q_plane.reshape(b, m, seg, h, d).astype(acc), axis=2), 2, 1
+    ) * scale  # (b, h, m, d)
+    k_lm = jnp.moveaxis(jnp.mean(k_plane.reshape(b, m, seg, h, d).astype(acc), axis=2), 2, 1)
+
+    attn2 = jax.nn.softmax(
+        jnp.einsum("bhmd,bhld->bhml", q_lm, k_lm, preferred_element_type=acc), axis=-1
+    )
+    attn2_inv = newton_schulz_pinv(attn2, pinv_iterations)
+
+    in_dtype = qkv.dtype
+    qlm_b = q_lm.astype(in_dtype)  # (b, h, m, d)
+    klm_scaled = (k_lm * scale).astype(in_dtype)
+
+    grid = (b, pl.cdiv(n, block_n))
+    plane_spec = pl.BlockSpec(
+        (1, block_n, h, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    lm_spec = pl.BlockSpec((1, h, m, d), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    def k1(qlm_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+        _landmark_attn_kernel_packed(
+            qlm_ref.at[0], k_ref, v_ref, o_ref.at[0], m_ref, l_ref, acc_ref,
+            n_real=n, block_n=block_n,
+        )
+
+    attn3_v = pl.pallas_call(
+        k1,
+        grid=grid,
+        in_specs=[lm_spec, plane_spec, plane_spec],
+        out_specs=lm_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, m, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((h * m, _LANES), jnp.float32),
+            pltpu.VMEM((h * m, _LANES), jnp.float32),
+            pltpu.VMEM((h, m, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(qlm_b, k_plane, v_plane)
+
+    bmat = jnp.matmul(attn2_inv, attn3_v.astype(acc), preferred_element_type=acc).astype(in_dtype)
+
+    def k2(q_ref, klm_ref, b_ref, o_ref):
+        _query_lm_kernel_packed(q_ref, klm_ref.at[0], b_ref.at[0], o_ref)
+
+    out = pl.pallas_call(
+        k2,
+        grid=grid,
+        in_specs=[plane_spec, lm_spec, lm_spec],
+        out_specs=plane_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, h, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(q_plane, klm_scaled, bmat)
+    return out
 
 
 def _fused_forward(q, k, v, num_landmarks, pinv_iterations, block_n):
@@ -230,3 +390,28 @@ def _bwd(num_landmarks, pinv_iterations, block_n, residuals, g):
 
 
 nystrom_attention_fused.defvjp(_fwd, _bwd)
+
+
+def _packed_reference(qkv, num_landmarks, pinv_iterations):
+    """XLA reference with packed I/O layout (used for the packed backward)."""
+    q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))
+    out = nystrom_attention(
+        q, k, v, num_landmarks=num_landmarks, pinv_iterations=pinv_iterations
+    ).out
+    return jnp.moveaxis(out, 1, 2)  # (b, n, h, d)
+
+
+def _packed_fwd(qkv, num_landmarks, pinv_iterations, block_n, scale):
+    out = nystrom_attention_fused_packed.__wrapped__(
+        qkv, num_landmarks, pinv_iterations, block_n, scale
+    )
+    return out, qkv
+
+
+def _packed_bwd(num_landmarks, pinv_iterations, block_n, scale, qkv, g):
+    del block_n, scale  # backward recomputes through the XLA reference
+    _, vjp = jax.vjp(lambda p: _packed_reference(p, num_landmarks, pinv_iterations), qkv)
+    return vjp(g)
+
+
+nystrom_attention_fused_packed.defvjp(_packed_fwd, _packed_bwd)
