@@ -109,6 +109,7 @@ def build(cfg, log_dir: str | None = None):
         log_dir=log_dir or str(cfg.log_path or "logs/run"),
         task=str(cfg.task or "norm_rest"),
         fast_dev_run=bool(cfg.fast_dev_run),
+        eval_batch_size=int(cfg.Data.test_dataloader.batch_size or 1),
     )
 
     # dp must divide the global batch; use the largest compatible device count

@@ -66,6 +66,7 @@ class TrainerConfig:
     fast_dev_run: bool = False
     use_tensorboard: bool = False
     tile_level: bool = False  # classic per-tile pipeline: tile->slide->patient agg
+    eval_batch_size: int = 1  # >1 batches same-bucket eval bags (fewer dispatches)
 
 
 def mutable_lr_scale() -> optax.GradientTransformation:
@@ -149,6 +150,30 @@ class Trainer:
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self.logger = MetricLogger(self.log_dir, use_tensorboard=config.use_tensorboard)
         self.ckpts = CheckpointManager(self.log_dir / "checkpoints")
+        # run-metadata snapshot (the reference copies a code snapshot into the
+        # log dir per run, train.py:237-242; here: config + versions + git rev)
+        try:
+            import subprocess
+
+            rev = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+                cwd=Path(__file__).resolve().parents[2],
+            ).stdout.strip()
+        except Exception:
+            rev = "unknown"
+        (self.log_dir / "run_meta.json").write_text(
+            json.dumps(
+                {
+                    "model": model_name,
+                    "n_classes": n_classes,
+                    "config": {k: str(v) for k, v in vars(config).items()},
+                    "git_rev": rev,
+                    "jax": jax.__version__,
+                    "devices": [str(d) for d in jax.devices()],
+                },
+                indent=2,
+            )
+        )
 
         self.params = None
         self.opt_state = None
@@ -328,7 +353,7 @@ class Trainer:
     # ------------------------------------------------------------------- eval
     def evaluate(self, mode: str, save_results: bool = False, stage_name: str | None = None) -> dict:
         all_probs, all_logits, all_labels, names, patients = [], [], [], [], []
-        for batch in self.dm.eval_batches(mode):
+        for batch in self.dm.eval_batches(mode, batch_size=self.cfg.eval_batch_size):
             fn = self._eval_fn(batch.bags.shape[1:])
             probs, logits = fn(self.params, jnp.asarray(batch.bags))
             all_probs.append(np.asarray(probs))
