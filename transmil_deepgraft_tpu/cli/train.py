@@ -83,11 +83,31 @@ def build(cfg, log_dir: str | None = None):
             or ("spatial" if model_name in ("CTMIL", "resnet50") else "features")
         ),
     )
+    if dm.variant in ("images", "tiles"):
+        dm.eval_pad = "exact"  # image bags: bucketing to 2^k tiles wastes embed compute
 
     model = create_model(
         model_name, n_classes=n_classes, in_features=in_features,
         out_features=out_features, precision=cfg.General.precision or None,
     )
+    backbone_name = str(cfg.Model.backbone or "features")
+    if dm.variant == "images" and backbone_name != "features":
+        # backbone-in-the-graph path (ref ModelInterface.forward reshape,
+        # model_interface.py:297-317): tiles stream through the frozen backbone
+        # into the bag head inside one jitted step.
+        from transmil_deepgraft_tpu.models.backbones import ImageMILModel, create_backbone
+
+        backbone, feat_dim = create_backbone(backbone_name, out_features=out_features)
+        if feat_dim != in_features:
+            model = create_model(
+                model_name, n_classes=n_classes, in_features=feat_dim,
+                out_features=out_features, precision=cfg.General.precision or None,
+            )
+        model = ImageMILModel(backbone=backbone, head=model)
+    elif dm.variant == "tiles":
+        from transmil_deepgraft_tpu.models.classic import classic_model
+
+        model = classic_model(backbone_name, n_classes)
     loss_fn = create_loss(str(cfg.Loss.base_loss or "CrossEntropyLoss"), n_classes)
 
     grad_acc = int(cfg.General.grad_acc or 1)
@@ -110,6 +130,7 @@ def build(cfg, log_dir: str | None = None):
         task=str(cfg.task or "norm_rest"),
         fast_dev_run=bool(cfg.fast_dev_run),
         eval_batch_size=int(cfg.Data.test_dataloader.batch_size or 1),
+        tile_level=dm.variant == "tiles",
     )
 
     # dp must divide the global batch; use the largest compatible device count

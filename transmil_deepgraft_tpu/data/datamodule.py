@@ -40,7 +40,7 @@ class Batch:
 def _pad_to(bag: np.ndarray, n: int) -> np.ndarray:
     if bag.shape[0] >= n:
         return bag[:n]
-    pad = np.zeros((n - bag.shape[0], bag.shape[1]), bag.dtype)
+    pad = np.zeros((n - bag.shape[0], *bag.shape[1:]), bag.dtype)
     return np.concatenate([bag, pad], axis=0)
 
 
