@@ -28,6 +28,11 @@ assert len(jax.devices()) == 8
 
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent compile cache: repeat suite runs skip XLA:CPU compilation
+from transmil_deepgraft_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache("/tmp/tdt_jax_cache_cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

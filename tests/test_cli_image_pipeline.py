@@ -16,7 +16,7 @@ def jpg_cohort(tmp_path):
         d = tmp_path / "BLOCKS" / f"sl{s}"
         d.mkdir(parents=True)
         for t in range(3):
-            arr = rng.integers(0, 255, (224, 224, 3)).astype(np.uint8)
+            arr = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
             # put a class signal in the mean brightness
             if s % 2:
                 arr = np.clip(arr.astype(int) + 40, 0, 255).astype(np.uint8)
@@ -39,6 +39,7 @@ Data:
     data_dir: {tmp_path}
     label_file: {tmp_path}/labels.json
     variant: {variant}
+    tile_size: 64
     bag_size: 3
     train_dataloader: {{batch_size: 1}}
 Model:

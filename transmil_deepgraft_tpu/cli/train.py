@@ -74,6 +74,7 @@ def build(cfg, log_dir: str | None = None):
         fine_tune=bool(cfg.fine_tune),
         dataset_name=str(cfg.Data.dataset_name or "custom"),
         fold=int(cfg.Data.fold or 0),
+        tile_size=int(cfg.Data.tile_size or 224),
         # dataset variant by model (ref data_interface.py:166-177): spatial grids
         # for CTMIL/resnet50 heads; precomputed feature bags otherwise (the main
         # path even for retccl-backbone configs). 'images'/'tiles' opt in via

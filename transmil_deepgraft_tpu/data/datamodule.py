@@ -80,7 +80,9 @@ class MILDataModule:
         dataset_name: str = "custom",
         fold: int = 0,
         variant: str = "features",  # features | spatial | images | tiles
+        tile_size: int = 224,
     ) -> None:
+        self.tile_size = tile_size
         self.dataset_name = dataset_name
         self.fold = fold
         self.variant = variant
@@ -163,6 +165,7 @@ class MILDataModule:
                 self.data_dir, self.label_path, actual_mode, self.n_classes,
                 slide_patient_path=self.slide_patient_path,
                 max_bag_size=self.max_bag_size,
+                tile_size=self.tile_size,
             )
             return JPGTileDataset(bags) if self.variant == "tiles" else bags
         return FeatureBagDataset(

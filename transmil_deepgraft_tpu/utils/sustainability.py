@@ -145,3 +145,24 @@ def benchmark_models(
         w.writerows(rows)
     (out_dir / f"sustainability_{mode}.json").write_text(json.dumps(rows, indent=2))
     return path
+
+
+def plot_sweep(csv_path: str | Path, out_path: str | Path | None = None) -> Path:
+    """Energy-sweep bar chart (the reference's co2_plot.py): kWh per model/bag."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    csv_path = Path(csv_path)
+    df = pd.read_csv(csv_path)
+    pivot = df.pivot_table(index="model", columns="bag_size", values="kwh")
+    fig, ax = plt.subplots(figsize=(6, 4))
+    pivot.plot.bar(ax=ax)
+    ax.set_ylabel("kWh per run")
+    ax.set_title(f"Energy sweep ({df['mode'].iloc[0]}, {int(df['reps'].iloc[0])} reps)")
+    out_path = Path(out_path) if out_path else csv_path.with_suffix(".png")
+    fig.savefig(out_path, bbox_inches="tight", dpi=150)
+    plt.close(fig)
+    return out_path
