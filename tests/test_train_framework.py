@@ -161,3 +161,39 @@ def test_fit_learns_synthetic_signal(tmp_path):
     trainer.fit()
     summary = trainer.test()
     assert summary["test_auc"] > 0.8, summary
+
+
+def test_topk_minmax_scores():
+    from transmil_deepgraft_tpu.ops.pooling import topk_minmax_scores
+
+    scores = jnp.array([[0.3, -1.0, 2.0, 0.0, 1.0]])
+    out = np.asarray(topk_minmax_scores(scores, 2))
+    # reference order: bottom-R (ascending) then top-R (descending)
+    np.testing.assert_allclose(out, [[-1.0, 0.0, 2.0, 1.0]])
+
+
+def test_lr_scale_plumbing():
+    """ReduceLROnPlateau state surgery: find/replace the lr_scale leaf in the
+    full chained optimizer state."""
+    from transmil_deepgraft_tpu.train.trainer import (
+        _get_lr_scale,
+        _set_lr_scale,
+        mutable_lr_scale,
+    )
+
+    params = {"w": jnp.ones((4, 4))}
+    tx = optax.chain(
+        create_optimizer(opt="lookahead_radam", lr=1e-2, weight_decay=0.01, params=params),
+        mutable_lr_scale(),
+    )
+    state = tx.init(params)
+    assert _get_lr_scale(state) == 1.0
+    state = _set_lr_scale(state, 0.25)
+    assert _get_lr_scale(state) == 0.25
+    g = {"w": jnp.ones((4, 4))}
+    u_scaled, _ = tx.update(g, state, params)
+    state_full = _set_lr_scale(state, 1.0)
+    u_full, _ = tx.update(g, state_full, params)
+    np.testing.assert_allclose(
+        np.asarray(u_scaled["w"]), np.asarray(u_full["w"]) * 0.25, rtol=1e-5
+    )

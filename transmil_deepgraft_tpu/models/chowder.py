@@ -12,6 +12,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from transmil_deepgraft_tpu.ops.pooling import topk_minmax_scores
+
 
 class Chowder(nn.Module):
     n_classes: int
@@ -24,10 +26,7 @@ class Chowder(nn.Module):
             x = x[None]
         h = x.astype(jnp.float32)
         scores = nn.Dense(1, name="f1")(h)[..., 0]  # (B, N)
-        top = jax.lax.top_k(scores, self.r)[0]
-        bottom = -jax.lax.top_k(-scores, self.r)[0]
-        # Reference concatenates (min, max) in that order (Chowder.py:45).
-        feats = jnp.concatenate([bottom, top], axis=-1)  # (B, 2R)
+        feats = topk_minmax_scores(scores, self.r)  # (B, 2R), reference (min, max) order
         h = nn.Dense(200, name="f2_0")(feats)
         h = nn.Dense(100, name="f2_1")(h)
         logits = nn.Dense(self.n_classes, name="f2_2")(h)

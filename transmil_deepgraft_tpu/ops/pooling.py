@@ -49,10 +49,11 @@ def gated_attention_pool(
 
 
 def topk_minmax_scores(scores: jax.Array, r: int) -> jax.Array:
-    """Concatenate top-R max and bottom-R min instance scores (Chowder).
+    """Concatenate bottom-R min and top-R max instance scores (Chowder).
 
-    scores: (..., N); returns (..., 2R) sorted [top-R descending, bottom-R ascending].
+    scores: (..., N); returns (..., 2R) ordered [bottom-R, top-R] - the
+    reference's ``cat((min_indices, max_indices))`` order (``Chowder.py:45``).
     """
     top = jax.lax.top_k(scores, r)[0]
     bottom = -jax.lax.top_k(-scores, r)[0]
-    return jnp.concatenate([top, bottom], axis=-1)
+    return jnp.concatenate([bottom, top], axis=-1)
