@@ -92,3 +92,20 @@ def test_fine_tune_mode_uses_test_mixin(tmp_path):
 
     ds = FeatureBagDataset(feats_dir, tmp_path / "labels.json", "fine_tune", 2)
     assert sorted(ds.names) == ["mix0", "tr0"]  # train + test_mixin (ref :78-80)
+
+
+def test_resample_val_option():
+    from transmil_deepgraft_tpu.data.datamodule import MILDataModule
+
+    kw = dict(
+        n_classes=2, max_bag_size=16, batch_size=1,
+        synthetic={"n_train": 4, "n_val": 12, "n_test": 4, "bag_size": 16, "feature_size": 8},
+    )
+    plain = MILDataModule(**kw)
+    names_plain = [b.names[0] for b in plain.eval_batches("val")]
+    assert names_plain == sorted(set(names_plain))  # deterministic full split
+
+    res = MILDataModule(**kw, resample_val=True)
+    names_res = [b.names[0] for b in res.eval_batches("val")]
+    assert len(names_res) == len(names_plain)
+    assert len(set(names_res)) < len(names_res) or names_res != names_plain

@@ -83,7 +83,9 @@ class MILDataModule:
         fold: int = 0,
         variant: str = "features",  # features | spatial | images | tiles
         tile_size: int = 224,
+        resample_val: bool = False,  # reference quirk: ImbalancedSampler on val
     ) -> None:
+        self.resample_val = resample_val
         self.tile_size = tile_size
         self.dataset_name = dataset_name
         self.fold = fold
@@ -220,8 +222,14 @@ class MILDataModule:
     def eval_batches(self, mode: str, batch_size: int = 1) -> Iterator[Batch]:
         ds = self.dataset(mode)
         rng = np.random.default_rng(0)
-        for start in range(0, len(ds), batch_size):
-            items = [self._get(ds, i, rng) for i in range(start, min(start + batch_size, len(ds)))]
+        order = np.arange(len(ds))
+        if mode == "val" and self.resample_val:
+            # reference quirk: the val loader also uses the inverse-frequency
+            # sampler-with-replacement (data_interface.py:217-231); off by
+            # default here (deterministic full-split validation).
+            order = ImbalancedSampler(ds.get_labels(), self.n_classes).sample_epoch(rng)
+        for start in range(0, len(order), batch_size):
+            items = [self._get(ds, int(i), rng) for i in order[start : start + batch_size]]
             yield collate(items, eval_pad=self.eval_pad)
 
     @staticmethod
