@@ -384,10 +384,21 @@ class Trainer:
         patient_auc = auroc(agg.scores, agg.targets, self.n_classes)
         patient_report = classification_report(agg.scores, agg.targets, self.n_classes)
 
+        # Thresholds (ref load_thresholds, model_interface.py:1014-1038): binary
+        # val stages compute the Youden-J operating point (persisted to
+        # val_thresholds.csv); test stages use the 1/n_classes default.
         thresholds = [1.0 / self.n_classes] * self.n_classes
-        if self.n_classes <= 2 and len(np.unique(agg.targets)) > 1:
+        if mode != "test" and self.n_classes <= 2 and len(np.unique(agg.targets)) > 1:
             *_, thr = youden_j_threshold(agg.scores[:, 1], agg.targets)
             thresholds = [thr, thr]
+            try:
+                import pandas as pd
+
+                pd.DataFrame({"slide": [thr], "patient": [thr]}).to_csv(
+                    self.log_dir / "val_thresholds.csv", index=False
+                )
+            except Exception:
+                pass
 
         result = {
             "loss": loss,
