@@ -19,11 +19,14 @@ HEADS = 8
 
 
 def _gelu(x):
-    # erf-form GELU (flax nn.gelu approximate=True? flax default approximate=True uses tanh)
-    return 0.5 * x * (1.0 + np.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
+    # erf-form GELU: torch nn.GELU() default, which the reference uses throughout.
+    # (The flax models pass approximate=False to match.)
+    from scipy.special import erf
+
+    return 0.5 * x * (1.0 + erf(x / np.sqrt(2.0)))
 
 
-def _layer_norm(x, scale, bias, eps=1e-6):
+def _layer_norm(x, scale, bias, eps=1e-5):
     mu = x.mean(-1, keepdims=True)
     var = x.var(-1, keepdims=True)
     return (x - mu) / np.sqrt(var + eps) * scale + bias

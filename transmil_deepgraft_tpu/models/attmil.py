@@ -37,16 +37,16 @@ class AttMIL(nn.Module):
         # fc1 variants (ref AttMIL.py:56-65).
         if self.in_features == 2048:
             h = nn.Dense(self.in_features // 2, name="fc1_0")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
             h = nn.Dropout(rate=0.6)(h, deterministic=deterministic)
-            h = nn.LayerNorm(name="fc1_norm0")(h)
+            h = nn.LayerNorm(epsilon=1e-5, name="fc1_norm0")(h)
             h = nn.Dense(self.out_features, name="fc1_1")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
         else:
             h = nn.Dense(self.out_features, name="fc1_0")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
             h = nn.Dropout(rate=0.6)(h, deterministic=deterministic)
-            h = nn.LayerNorm(name="fc1_norm0")(h)
+            h = nn.LayerNorm(epsilon=1e-5, name="fc1_norm0")(h)
 
         v_w = self.param("attention_V", nn.initializers.lecun_normal(), (self.out_features, self.attn_dim))
         v_b = self.param("attention_V_bias", nn.initializers.zeros, (self.attn_dim,))

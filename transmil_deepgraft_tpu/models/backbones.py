@@ -70,7 +70,7 @@ class ProjectedBackbone(nn.Module):
         feats = self.backbone(x, train=train)
         out = nn.Dense(self.out_features, name="proj")(feats)
         if self.activation == "gelu":
-            out = nn.gelu(out)
+            out = nn.gelu(out, approximate=False)
         return out
 
 

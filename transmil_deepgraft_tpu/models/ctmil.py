@@ -31,10 +31,10 @@ class CTMIL(nn.Module):
         bn = lambda name: nn.BatchNorm(use_running_average=deterministic, name=name)
 
         h = nn.Conv(self.in_features // 2, (3, 3), padding="SAME", use_bias=False, name="conv1")(h)
-        h = nn.gelu(bn("bn1")(h))
+        h = nn.gelu(bn("bn1")(h), approximate=False)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         h = nn.Conv(self.out_features, (3, 3), padding="SAME", use_bias=False, name="conv2")(h)
-        h = nn.gelu(bn("bn2")(h))
+        h = nn.gelu(bn("bn2")(h), approximate=False)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         b = h.shape[0]
@@ -59,7 +59,7 @@ class CTMIL(nn.Module):
             tokens, deterministic=deterministic, return_row_index=pad if return_attn else None
         )
 
-        out = nn.LayerNorm(name="norm")(tokens)[:, 0]
+        out = nn.LayerNorm(epsilon=1e-5, name="norm")(tokens)[:, 0]
         logits = nn.Dense(self.n_classes, name="fc")(out)
         if return_attn:
             return logits, attn_row

@@ -150,7 +150,7 @@ class TransLayer(nn.Module):
         deterministic: bool = True,
         return_row_index: Optional[int] = None,
     ) -> tuple[jax.Array, Optional[jax.Array], int]:
-        normed = nn.LayerNorm(name="norm")(x)
+        normed = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         out, attn_row, pad = NystromAttentionLayer(
             dim=self.dim,
             heads=8,
@@ -250,7 +250,7 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         x = nn.Dense(self.hidden_dim)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.dim)(x)
         x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
@@ -271,7 +271,7 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         for i in range(self.depth):
-            attn_in = nn.LayerNorm(name=f"attn_norm_{i}")(x)
+            attn_in = nn.LayerNorm(epsilon=1e-5, name=f"attn_norm_{i}")(x)
             x = x + SoftmaxAttention(
                 dim=self.dim,
                 heads=self.heads,
@@ -279,7 +279,7 @@ class TransformerBlock(nn.Module):
                 dropout=self.dropout,
                 name=f"attn_{i}",
             )(attn_in, deterministic=deterministic)
-            ff_in = nn.LayerNorm(name=f"ff_norm_{i}")(x)
+            ff_in = nn.LayerNorm(epsilon=1e-5, name=f"ff_norm_{i}")(x)
             x = x + FeedForward(
                 dim=self.dim,
                 hidden_dim=self.mlp_dim,
@@ -309,31 +309,31 @@ def make_fc1(
     def apply(x: jax.Array, deterministic: bool = True) -> jax.Array:
         if in_features == 2048:
             h = nn.Dense(in_features // 2, dtype=dtype, name="fc1_0")(x)
-            h = nn.gelu(h)
-            h = nn.LayerNorm(name="fc1_norm0")(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.LayerNorm(epsilon=1e-5, name="fc1_norm0")(h)
             h = nn.Dense(out_features, dtype=dtype, name="fc1_1")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
         elif in_features == 1024:
             h = nn.Dense(in_features, dtype=dtype, name="fc1_0")(x)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
             h = nn.Dropout(rate=0.2)(h, deterministic=deterministic)
-            h = nn.LayerNorm(name="fc1_norm0")(h)
+            h = nn.LayerNorm(epsilon=1e-5, name="fc1_norm0")(h)
             h = nn.Dense(out_features, dtype=dtype, name="fc1_1")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
             h = nn.Dropout(rate=0.6)(h, deterministic=deterministic)
-            h = nn.LayerNorm(name="fc1_norm1")(h)
+            h = nn.LayerNorm(epsilon=1e-5, name="fc1_norm1")(h)
         elif in_features == 768:
             h = nn.Dense(in_features, dtype=dtype, name="fc1_0")(x)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
             h = nn.Dropout(rate=0.6)(h, deterministic=deterministic)
-            h = nn.LayerNorm(name="fc1_norm0")(h)
+            h = nn.LayerNorm(epsilon=1e-5, name="fc1_norm0")(h)
             h = nn.Dense(out_features, dtype=dtype, name="fc1_1")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
             h = nn.Dropout(rate=0.6)(h, deterministic=deterministic)
-            h = nn.LayerNorm(name="fc1_norm1")(h)
+            h = nn.LayerNorm(epsilon=1e-5, name="fc1_norm1")(h)
         else:
             h = nn.Dense(out_features, dtype=dtype, name="fc1_0")(x)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
         return h
 
     return apply

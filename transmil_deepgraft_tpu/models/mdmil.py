@@ -28,7 +28,7 @@ class MDMIL(nn.Module):
         if x.ndim == 2:
             x = x[None]
         h = x.astype(jnp.float32)
-        h = nn.gelu(nn.Dense(self.out_features, name="fc1")(h))
+        h = nn.gelu(nn.Dense(self.out_features, name="fc1")(h), approximate=False)
 
         n_tokens = h.shape[1]
         h, grid_h, grid_w = duplicate_pad_square(h)
@@ -48,7 +48,7 @@ class MDMIL(nn.Module):
             h, deterministic=deterministic, return_row_index=pad if return_attn else None
         )
 
-        h = nn.LayerNorm(name="norm")(h)[:, 0]
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)[:, 0]
         logits = nn.Dense(self.n_classes, name="fc2")(h)
         if return_attn:
             return logits, TransMILAttention(row=attn_row, pad=pad, n_tokens=n_tokens)

@@ -31,16 +31,16 @@ class TransformerMIL(nn.Module):
         # fc1 variants (ref TransformerMIL.py:106-119).
         if self.in_features == 2048:
             h = nn.Dense(self.in_features // 2, name="fc1_0")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
             h = nn.Dropout(rate=0.6)(h, deterministic=deterministic)
-            h = nn.LayerNorm(name="fc1_norm0")(h)
+            h = nn.LayerNorm(epsilon=1e-5, name="fc1_norm0")(h)
             h = nn.Dense(self.out_features, name="fc1_1")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
         elif self.in_features == 1024:
             h = nn.Dense(self.out_features, name="fc1_0")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
             h = nn.Dropout(rate=0.6)(h, deterministic=deterministic)
-            h = nn.LayerNorm(name="fc1_norm0")(h)
+            h = nn.LayerNorm(epsilon=1e-5, name="fc1_norm0")(h)
         else:
             h = nn.Dense(self.out_features, name="fc1_0")(h)
             h = nn.relu(h)
@@ -62,7 +62,7 @@ class TransformerMIL(nn.Module):
         )(h, deterministic=deterministic)
 
         h = jnp.mean(h, axis=1) if self.pool == "mean" else h[:, 0]
-        h = nn.LayerNorm(name="norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
         logits = nn.Dense(self.n_classes, name="fc2")(h)
         if return_attn:
             return logits, None

@@ -94,7 +94,7 @@ class TransMIL(nn.Module):
             h, deterministic=deterministic, return_row_index=row_index
         )
 
-        h = nn.LayerNorm(name="norm")(h.astype(jnp.float32))[:, 0]
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h.astype(jnp.float32))[:, 0]
         logits = nn.Dense(self.n_classes, name="fc")(h)
 
         if return_attn:

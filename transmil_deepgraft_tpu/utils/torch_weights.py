@@ -172,6 +172,92 @@ def convert_transmil_state_dict(state_dict: Mapping[str, Any], in_features: int 
     return {"params": nested}
 
 
+def _gated_attention_params(sd: Mapping[str, Any], prefix: str) -> dict:
+    """torch gated-attention triple (attention_V/U Sequential + attention_weights
+    Linear) -> the raw-param layout used by ``ops/pooling.gated_attention_pool``
+    consumers (AttMIL / DTFD GatedAttention): weight (in, out) + separate bias."""
+    p = {}
+    for name in ("attention_V", "attention_U"):
+        p[name] = _np(sd[f"{prefix}{name}.0.weight"]).T
+        p[f"{name}_bias"] = _np(sd[f"{prefix}{name}.0.bias"])
+    p["attention_weights"] = _np(sd[f"{prefix}attention_weights.weight"]).T
+    p["attention_weights_bias"] = _np(sd[f"{prefix}attention_weights.bias"])
+    return p
+
+
+def convert_attmil_state_dict(state_dict: Mapping[str, Any], in_features: int = 2048) -> dict:
+    """torch AttMIL (ref ``AttMIL.py:20-110``) -> flax params for
+    :class:`transmil_deepgraft_tpu.models.attmil.AttMIL`."""
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    p: dict = {}
+
+    def lin(dst: str, src: str) -> None:
+        p[dst] = {"kernel": _np(sd[f"{src}.weight"]).T, "bias": _np(sd[f"{src}.bias"])}
+
+    lin("fc1_0", "_fc1.0")
+    if in_features == 2048:
+        p["fc1_norm0"] = {"scale": _np(sd["_fc1.3.weight"]), "bias": _np(sd["_fc1.3.bias"])}
+        lin("fc1_1", "_fc1.4")
+    else:
+        p["fc1_norm0"] = {"scale": _np(sd["_fc1.3.weight"]), "bias": _np(sd["_fc1.3.bias"])}
+    p.update(_gated_attention_params(sd, ""))
+    lin("classifier", "classifier.0")
+    return {"params": p}
+
+
+def convert_clam_state_dict(state_dict: Mapping[str, Any], n_classes: int = 2) -> dict:
+    """torch CLAM_SB / CLAM_MB (ref ``model_clam.py:71-280``) -> flax params for
+    :class:`transmil_deepgraft_tpu.models.clam.CLAM_SB` / ``CLAM_MB``.
+
+    Handles both attention_net layouts (index 2 without dropout, 3 with)."""
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    p: dict = {}
+
+    def lin(src: str) -> dict:
+        return {"kernel": _np(sd[f"{src}.weight"]).T, "bias": _np(sd[f"{src}.bias"])}
+
+    p["fc"] = lin("attention_net.0")
+    gate_idx = 3 if "attention_net.3.attention_a.0.weight" in sd else 2
+    p["attention_net"] = {
+        "attention_a": lin(f"attention_net.{gate_idx}.attention_a.0"),
+        "attention_b": lin(f"attention_net.{gate_idx}.attention_b.0"),
+        "attention_c": lin(f"attention_net.{gate_idx}.attention_c"),
+    }
+    if "classifiers.weight" in sd:  # single branch
+        p["classifiers"] = lin("classifiers")
+    else:  # multi branch: one 1-logit classifier per class
+        for c in range(n_classes):
+            p[f"classifier_{c}"] = lin(f"classifiers.{c}")
+    for c in range(n_classes):
+        key = f"instance_classifiers.{c}.weight"
+        if key in sd:
+            p[f"instance_classifier_{c}"] = lin(f"instance_classifiers.{c}")
+    return {"params": p}
+
+
+def convert_dtfd_state_dict(state_dict: Mapping[str, Any]) -> dict:
+    """torch DTFD modules (ref ``DTFDMIL.py:14-108`` wired as in
+    ``model_interface_dtfd.py:160-165``: dimreduction/attention/classifier/attCls)
+    -> flax params for :class:`transmil_deepgraft_tpu.models.dtfd.DTFDMIL`."""
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    p: dict = {
+        "dimreduction": {"fc1": {"kernel": _np(sd["dimreduction.fc1.weight"]).T}},
+        "attention": _gated_attention_params(sd, "attention."),
+        "classifier": {
+            "kernel": _np(sd["classifier.fc.weight"]).T,
+            "bias": _np(sd["classifier.fc.bias"]),
+        },
+        "attCls": {
+            "attention": _gated_attention_params(sd, "attCls.attention."),
+            "classifier": {
+                "kernel": _np(sd["attCls.classifier.fc.weight"]).T,
+                "bias": _np(sd["attCls.classifier.fc.bias"]),
+            },
+        },
+    }
+    return {"params": p}
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a .pth/.ckpt with torch (CPU); returns the raw state dict
     (unwraps Lightning's ``state_dict`` key)."""
