@@ -86,6 +86,11 @@ def build(cfg, log_dir: str | None = None):
     )
     if dm.variant in ("images", "tiles"):
         dm.eval_pad = "exact"  # image bags: bucketing to 2^k tiles wastes embed compute
+    if model_name in ("DTFD", "DTFDMIL") and dm.batch_size != 1:
+        # DTFD is a strictly batch=1 model (ref model_interface_dtfd.py:183);
+        # the model raises on batch>1, so clamp here with a notice.
+        print(f"[cli] DTFD requires batch_size=1 (configured {dm.batch_size}); clamping")
+        dm.batch_size = 1
 
     model = create_model(
         model_name, n_classes=n_classes, in_features=in_features,
@@ -208,7 +213,10 @@ def main(argv: list[str] | None = None) -> dict:
         if args.resume_training:
             last = trainer.ckpts.last_path()
             if last.exists():
-                trainer.load_checkpoint(last)
+                # full resume: params + optimizer + epoch + early-stop/plateau/
+                # lr-scale (strictly better than the reference's weights-only
+                # resume, utils/utils.py:195-218)
+                trainer.load_train_state(last)
         history = trainer.fit()
         summary = trainer.test()
         print(json.dumps({**history, **summary}, default=float))

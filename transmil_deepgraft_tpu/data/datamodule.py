@@ -39,6 +39,26 @@ class Batch:
     coords: list[np.ndarray]
 
 
+def _mixup_assembled(bags: np.ndarray, taken: np.ndarray, rng: np.random.Generator) -> None:
+    """In-place bag mixup on a bagstore-assembled (B, k, D) batch, replicating
+    ``FeatureBagDataset._mixup_bag`` semantics (ref feature_dataloader.py:303-330):
+    convex combos of random instance pairs; full-length bags are replaced by the
+    combos, short bags get combos appended into the zero pad."""
+    k = bags.shape[1]
+    for i in range(bags.shape[0]):
+        n = int(taken[i])
+        if n <= 0:
+            continue
+        view = bags[i, :n]
+        a = rng.random(n, dtype=np.float32)[:, None]
+        temp = a * view[rng.integers(0, n, n)] + (1.0 - a) * view[rng.integers(0, n, n)]
+        if n < k:
+            m = min(n, k - n)
+            bags[i, n : n + m] = temp[rng.permutation(n)[:m]]
+        else:
+            bags[i] = temp
+
+
 def _pad_to(bag: np.ndarray, n: int) -> np.ndarray:
     if bag.shape[0] >= n:
         return bag[:n]
@@ -111,8 +131,9 @@ class MILDataModule:
     def enable_bagstore(self, path: str | None = None, rebuild: bool = False, n_threads: int = 8) -> None:
         """Switch train batching to the native mmap bag store (built once from
         the train split's HDF5 files): threaded sampling + batch assembly in C++
-        instead of h5py-per-item reads. Mixup and the post-pad reshuffle are not
-        applied on this path."""
+        instead of h5py-per-item reads. Mixup and the post-pad reshuffle are
+        applied host-side on the assembled batch (vectorized numpy), so this
+        path keeps the per-item path's training semantics."""
         from pathlib import Path as _P
 
         from transmil_deepgraft_tpu.data.bagstore import BagStore, write_bagstore
@@ -132,6 +153,9 @@ class MILDataModule:
         self._bagstore_labels = ds.get_labels()
         self._bagstore_meta = (list(ds.names), list(ds.patients))
         self._bagstore_threads = n_threads
+        self._bagstore_ntiles = np.array(
+            [self._bagstore.n_tiles(i) for i in range(self._bagstore.n_slides)], np.int64
+        )
 
     # -- dataset construction -------------------------------------------------
     def _make_dataset(self, mode: str):
@@ -206,6 +230,14 @@ class MILDataModule:
                 bags = self._bagstore.assemble_batch(
                     idxs, k=k, seed=int(rng.integers(2**31)), n_threads=self._bagstore_threads
                 )
+                taken = np.minimum(self._bagstore_ntiles[idxs], k).astype(np.int64)
+                if self.mixup:
+                    _mixup_assembled(bags, taken, rng)
+                # post-pad reshuffle (ref feature_dataloader.py:363-365): zero-pad
+                # rows must land at random positions - TransMIL's square grid /
+                # PPEG make token order meaningful.
+                perm = rng.random((bs, k)).argsort(axis=1)
+                bags = np.take_along_axis(bags, perm[:, :, None], axis=1)
                 yield Batch(
                     bags=bags,
                     labels=labels[idxs],

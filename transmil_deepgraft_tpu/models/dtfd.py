@@ -100,6 +100,14 @@ class DTFDMIL(nn.Module):
         ``return_attn=True`` additionally returns the tier-1 attention (G, N_pb).
         """
         if x.ndim == 3:
+            if x.shape[0] != 1:
+                # the reference operates strictly at batch=1
+                # (model_interface_dtfd.py:183 squeezes dim 0); silently taking
+                # x[0] would drop slides - fail loudly instead.
+                raise ValueError(
+                    f"DTFDMIL processes one slide at a time (got batch={x.shape[0]}); "
+                    "use batch_size=1 or vmap the apply"
+                )
             x = x[0]
         x = x.astype(jnp.float32)
         n = x.shape[0]

@@ -1,0 +1,285 @@
+"""Int8 post-training-quantized ResNet50 feature extractor (inference path).
+
+The frozen RetCCL/CLAM backbones (``models/resnet.py``) dominate the end-to-end
+slide latency: a 40,960-patch slide is 40960 x 8.2 GFLOPs = 336 TFLOPs of conv
+work, which caps bf16 (197 TFLOP/s peak) at ~1.7 s/slide no matter the
+implementation. The v5e int8 MXU path doubles the ceiling.
+
+Design (everything stays in the quantized domain end to end):
+
+- BN folds into per-channel conv scale/bias; weights quantize per-output-channel
+  symmetric int8; activations are ReLU outputs everywhere post-stem, so they
+  quantize ASYMMETRICALLY to the full int8 range with zero point -128 (8
+  effective bits; the zero-point term folds into the bias - see
+  ``ops/quantization.zero_point_bias``).
+- Every conv epilogue is ONE folded per-channel fma on the int32 accumulator:
+  ``q_next = clip(round(acc * m + z), -128, 127)`` where ``m = s_in*s_w/s_next``
+  and ``z`` absorbs the BN bias, the zero-point correction, and the -128 shift.
+  The ReLU is FREE: relu output 0 maps exactly to code -128, which is the clip's
+  lower bound. Measured on-chip: 356 TOPS for a composed bottleneck vs 234 with
+  a separate f32 dequant->relu->requant chain (BENCHMARKS.md).
+- Residual adds happen in the same folded domain: the identity path contributes
+  ``id_q * (s_id/s_out)`` (one extra int8-read fma), the downsample path
+  contributes its own folded accumulator.
+- 3x3 convs pad explicitly with -128 (the zero-point code for x=0); XLA's
+  implicit SAME padding would inject q=0 == x=128*s.
+- The stem (7x7, 3 input channels - MXU-hostile either way, ~3% of FLOPs) runs
+  bf16 with f32 accumulation.
+
+Accuracy: feature cosine vs the fp32 model 0.9999 on a random-init net
+(``tests/test_int8_resnet.py``); trained nets quantize better still.
+
+Ref architecture: ``code/models/ResNet.py:119-399`` (RetCCL resnet50, feature
+mode), ``code/utils/custom_resnet50.py`` (layer3-truncated baseline).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transmil_deepgraft_tpu.ops.quantization import (
+    fold_bn,
+    quantize_act_relu,
+    quantize_weight,
+    zero_point_bias,
+)
+
+LAYERS_R50 = (3, 4, 6, 3)
+PLANES = (64, 128, 256, 512)
+STRIDES = (1, 2, 2, 2)
+EXPANSION = 4
+
+
+def _block_plan(truncate_after: int = 4):
+    """Yields (name, stride, has_downsample) for every bottleneck block."""
+    in_planes = 64
+    for stage in range(truncate_after):
+        p, s = PLANES[stage], STRIDES[stage]
+        for b in range(LAYERS_R50[stage]):
+            stride = s if b == 0 else 1
+            has_ds = b == 0 and (stride != 1 or in_planes != p * EXPANSION)
+            yield f"layer{stage + 1}_{b}", stride, has_ds
+            in_planes = p * EXPANSION
+
+
+def _fold_all(variables: dict, truncate_after: int) -> dict:
+    """{key: (folded_kernel f64, folded_bias f64)} for stem + every block conv."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def fold(conv_tree, bn_p, bn_s):
+        return fold_bn(
+            np.asarray(conv_tree["kernel"], np.float64),
+            np.asarray(bn_p["scale"], np.float64),
+            np.asarray(bn_p["bias"], np.float64),
+            np.asarray(bn_s["mean"], np.float64),
+            np.asarray(bn_s["var"], np.float64),
+        )
+
+    folded = {"conv1": fold(params["conv1"], params["bn1"], stats["bn1"])}
+    for name, _, has_ds in _block_plan(truncate_after):
+        bp, bs = params[name], stats[name]
+        for i in (1, 2, 3):
+            folded[f"{name}.conv{i}"] = fold(bp[f"conv{i}"], bp[f"bn{i}"], bs[f"bn{i}"])
+        if has_ds:
+            folded[f"{name}.downsample"] = fold(
+                bp["downsample_conv"], bp["downsample_bn"], bs["downsample_bn"]
+            )
+    return folded
+
+
+def _conv_f32(x, kernel, bias, stride=1, padding="SAME"):
+    out = jax.lax.conv_general_dilated(
+        x, jnp.asarray(kernel, x.dtype), (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return out + jnp.asarray(bias, jnp.float32)
+
+
+def _stem(x, kernel, bias):
+    """bf16 stem conv + relu + 3x3/2 maxpool; f32 output."""
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16), (2, 2),
+        [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    out = jax.nn.relu(out + bias)
+    return jax.lax.reduce_window(
+        out, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+
+def _calibrate(folded: dict, tiles: np.ndarray, truncate_after: int) -> dict:
+    """f32 forward with folded weights, recording max|x| per conv input (plus
+    the final block output under key 'final')."""
+    record: dict[str, float] = {}
+
+    def note(key, x):
+        record[key] = float(jnp.max(jnp.abs(x)))
+        return x
+
+    x = jnp.asarray(tiles, jnp.float32)
+    out = _stem(x, jnp.asarray(folded["conv1"][0], jnp.float32),
+                jnp.asarray(folded["conv1"][1], jnp.float32))
+    for name, stride, has_ds in _block_plan(truncate_after):
+        identity = out
+        note(f"{name}.conv1", out)
+        h = jax.nn.relu(_conv_f32(out, *folded[f"{name}.conv1"]))
+        note(f"{name}.conv2", h)
+        h = jax.nn.relu(_conv_f32(h, *folded[f"{name}.conv2"], stride))
+        note(f"{name}.conv3", h)
+        h = _conv_f32(h, *folded[f"{name}.conv3"])
+        if has_ds:
+            identity = _conv_f32(out, *folded[f"{name}.downsample"], stride)
+        out = jax.nn.relu(h + identity)
+    note("final", out)
+    return record
+
+
+class QBlock(NamedTuple):
+    """One bottleneck with every scale folded into per-channel fma constants."""
+
+    w1: jax.Array  # int8 (1,1,Cin,Mid)
+    m1: jax.Array  # (Mid,) f32: s_in1*s_w1 / s_in2
+    z1: jax.Array  # (Mid,) f32: bias'/s_in2 - 128
+    w2: jax.Array  # int8 (3,3,Mid,Mid)
+    m2: jax.Array
+    z2: jax.Array
+    w3: jax.Array  # int8 (1,1,Mid,Cout)
+    m3: jax.Array  # (Cout,) f32: s_in3*s_w3 / s_out
+    z3: jax.Array  # (Cout,) f32: combined conv3+identity bias in out units, -128
+    wd: Optional[jax.Array]  # int8 downsample kernel or None
+    md: Optional[jax.Array]  # (Cout,) or None
+    id_mult: jax.Array  # () f32: s_id/s_out (identity fma; unused when wd set)
+
+
+class QResNet50(NamedTuple):
+    stem_kernel: jax.Array  # f32 (7,7,3,64) BN-folded
+    stem_bias: jax.Array
+    in_scale: jax.Array  # () f32: first block input scale (stem output)
+    blocks: tuple  # tuple[QBlock, ...]
+    final_scale: jax.Array  # () f32: dequant scale for the pooled features
+    truncate_after: int
+    feature_dim: int
+
+
+jax.tree_util.register_pytree_node(
+    QBlock, lambda b: (tuple(b), None), lambda _, c: QBlock(*c)
+)
+jax.tree_util.register_pytree_node(
+    QResNet50,
+    lambda q: (
+        (q.stem_kernel, q.stem_bias, q.in_scale, q.blocks, q.final_scale),
+        (q.truncate_after, q.feature_dim),
+    ),
+    lambda aux, c: QResNet50(c[0], c[1], c[2], c[3], c[4], aux[0], aux[1]),
+)
+
+
+def build_qresnet50(
+    variables: dict, calib_tiles: np.ndarray, truncate_after: int = 4
+) -> QResNet50:
+    """variables: the fp32 ResNet50 {'params','batch_stats'} (e.g. converted from
+    ``retccl_best_ckpt.pth``); calib_tiles: (N, 224, 224, 3) representative tiles
+    for activation-scale calibration (N=64-256 is plenty)."""
+    folded = _fold_all(variables, truncate_after)
+    record = _calibrate(folded, calib_tiles, truncate_after)
+
+    def act_scale(key: str) -> float:
+        return max(record[key], 1e-12) / 255.0
+
+    plan = list(_block_plan(truncate_after))
+    blocks: list[QBlock] = []
+    for i, (name, stride, has_ds) in enumerate(plan):
+        s_in1 = act_scale(f"{name}.conv1")
+        s_in2 = act_scale(f"{name}.conv2")
+        s_in3 = act_scale(f"{name}.conv3")
+        s_out = (
+            act_scale(f"{plan[i + 1][0]}.conv1") if i + 1 < len(plan) else act_scale("final")
+        )
+
+        def qc(key, s_in):
+            k, b = folded[key]
+            w_q, s_w = quantize_weight(np.asarray(k, np.float32))
+            bias_eff = np.asarray(b, np.float64) + zero_point_bias(w_q, s_in, s_w)
+            return w_q, s_in * s_w.astype(np.float64), bias_eff
+
+        w1, sk1, b1 = qc(f"{name}.conv1", s_in1)
+        w2, sk2, b2 = qc(f"{name}.conv2", s_in2)
+        w3, sk3, b3 = qc(f"{name}.conv3", s_in3)
+
+        z3 = b3 / s_out - 128.0
+        if has_ds:
+            wd, skd, bd = qc(f"{name}.downsample", s_in1)
+            md = jnp.asarray(skd / s_out, jnp.float32)
+            wd = jnp.asarray(wd)
+            z3 = z3 + bd / s_out
+            id_mult = np.float64(0.0)
+        else:
+            wd = md = None
+            # identity q (zero point -128): y_id = (id_q + 128) * s_in1
+            id_mult = s_in1 / s_out
+            z3 = z3 + 128.0 * id_mult
+
+        blocks.append(QBlock(
+            w1=jnp.asarray(w1), m1=jnp.asarray(sk1 / s_in2, jnp.float32),
+            z1=jnp.asarray(b1 / s_in2 - 128.0, jnp.float32),
+            w2=jnp.asarray(w2), m2=jnp.asarray(sk2 / s_in3, jnp.float32),
+            z2=jnp.asarray(b2 / s_in3 - 128.0, jnp.float32),
+            w3=jnp.asarray(w3), m3=jnp.asarray(sk3 / s_out, jnp.float32),
+            z3=jnp.asarray(z3, jnp.float32),
+            wd=wd, md=md,
+            id_mult=jnp.asarray(id_mult, jnp.float32),
+        ))
+
+    return QResNet50(
+        stem_kernel=jnp.asarray(folded["conv1"][0], jnp.float32),
+        stem_bias=jnp.asarray(folded["conv1"][1], jnp.float32),
+        in_scale=jnp.asarray(act_scale(f"{plan[0][0]}.conv1"), jnp.float32),
+        blocks=tuple(blocks),
+        final_scale=jnp.asarray(act_scale("final"), jnp.float32),
+        truncate_after=truncate_after,
+        feature_dim=PLANES[truncate_after - 1] * EXPANSION,
+    )
+
+
+def _conv_q(x_q, w_q, stride=1, padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x_q, w_q, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _rq(acc, m, z):
+    """int32 accumulator -> next layer's int8 code: one per-channel fma + round.
+    ReLU is implicit: y<=0 lands at/below code -128 == the clip floor."""
+    return jnp.clip(jnp.round(acc.astype(jnp.float32) * m + z), -128, 127).astype(jnp.int8)
+
+
+def apply_qresnet50(q: QResNet50, tiles: jax.Array) -> jax.Array:
+    """tiles (N, 224, 224, 3) f32/bf16 -> features (N, feature_dim) f32."""
+    out = _stem(tiles, q.stem_kernel, q.stem_bias)  # f32, >= 0
+    out_q = quantize_act_relu(out, q.in_scale)
+    plan = list(_block_plan(q.truncate_after))
+    for blk, (_, stride, has_ds) in zip(q.blocks, plan):
+        h = _rq(_conv_q(out_q, blk.w1), blk.m1, blk.z1)
+        # explicit -128 pad: implicit SAME padding would inject q=0 == x=128*s
+        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-128)
+        h = _rq(_conv_q(h, blk.w2, stride, padding="VALID"), blk.m2, blk.z2)
+        acc3 = _conv_q(h, blk.w3).astype(jnp.float32) * blk.m3
+        if has_ds:
+            idn = _conv_q(out_q, blk.wd, stride).astype(jnp.float32) * blk.md
+        else:
+            idn = out_q.astype(jnp.float32) * blk.id_mult
+        out_q = jnp.clip(jnp.round(acc3 + idn + blk.z3), -128, 127).astype(jnp.int8)
+    # dequantized global average pool: mean((q+128) * s)
+    pooled = jnp.mean(out_q.astype(jnp.float32), axis=(1, 2)) + 128.0
+    return pooled * q.final_scale

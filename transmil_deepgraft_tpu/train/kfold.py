@@ -54,8 +54,12 @@ class FoldDataModule:
         if mode == "val":
             ds = self.base.dataset("train")
             rng = np.random.default_rng(0)
-            for i in self.val_idx:
-                yield collate([self.base._get(ds, int(i), rng)], eval_pad=self.eval_pad)
+            for start in range(0, len(self.val_idx), batch_size):
+                items = [
+                    self.base._get(ds, int(i), rng)
+                    for i in self.val_idx[start : start + batch_size]
+                ]
+                yield collate(items, eval_pad=self.eval_pad)
         else:
             yield from self.base.eval_batches(mode, batch_size)
 
@@ -114,14 +118,40 @@ def run_kfold(
         logits = [l[1] if isinstance(l, tuple) else l for l in logits]
         return jnp.mean(jnp.stack(logits), axis=0)
 
+    # attention top-k tile export during the ensemble test run (the reference's
+    # EnsembleVotingModel exports GradCAM top-k tiles, train_loop.py:67-122);
+    # only for heads exposing return_attn (TransMIL family).
+    supports_attn = hasattr(trainer.model, "attn_query")
+    if supports_attn:
+        def attn_rows(params, bags):
+            _, attn = trainer.model.apply(
+                {"params": params}, bags, deterministic=True, return_attn=True
+            )
+            return attn.tile_scores().mean(axis=1)  # (B, n_tokens) mean over heads
+
+        afn = jax.jit(attn_rows)
+
     efn = jax.jit(ensemble_logits)
     probs_l, labels_l, names, patients = [], [], [], []
+    tiles_dir = export_dir / "ensemble_topk_tiles"
     for batch in dm.eval_batches("test"):
-        logits = efn(jnp.asarray(batch.bags))
+        bags = jnp.asarray(batch.bags)
+        logits = efn(bags)
         probs_l.append(np.asarray(jax.nn.softmax(logits, axis=-1)))
         labels_l.append(batch.labels)
         names += batch.names
         patients += batch.patients
+        if supports_attn:
+            from transmil_deepgraft_tpu.visualize.heatmap import export_topk_tiles
+
+            # score tiles with the mean attention row across fold checkpoints
+            rows = np.mean([np.asarray(afn(fp, bags)) for fp in fold_params], axis=0)
+            for j, slide_name in enumerate(batch.names):
+                n = int(batch.lengths[j])
+                export_topk_tiles(
+                    rows[j][:n], batch.coords[j], slide_name,
+                    tiles_dir / f"{slide_name}_topk_tiles.csv",
+                )
     probs = np.concatenate(probs_l)
     labels = np.concatenate(labels_l)
     agg = aggregate_patients(probs, labels, names, patients, dm.n_classes)
@@ -131,4 +161,7 @@ def run_kfold(
         **classification_report(agg.scores, agg.targets, dm.n_classes).as_dict("ensemble_patient_"),
     }
     (export_dir / "ensemble_metrics.json").write_text(json.dumps(ensemble, indent=2))
+    # the ensemble run writes the same result artifacts as a test stage
+    trainer._save_results(agg, mode="ensemble")
+    trainer._save_topk_patients(agg, [1.0 / dm.n_classes] * dm.n_classes, stage="ensemble")
     return KFoldResult(fold_metrics, ensemble, ckpt_paths)

@@ -177,6 +177,7 @@ class Trainer:
 
         self.params = None
         self.opt_state = None
+        self._resume_fit_state: Optional[dict] = None
         self._train_step = None
         self._eval_fns: dict[tuple, Callable] = {}
         self._swa_params = None
@@ -266,16 +267,26 @@ class Trainer:
             self.init_params(first)
         self._train_step = self._build_train_step()
 
-        best_val_loss = float("inf")
-        epochs_since_best = 0
-        plateau_since_best = 0
-        lr_scale = 1.0
+        fit_state = self._resume_fit_state or {
+            "epoch": 0,
+            "best_val_loss": float("inf"),
+            "epochs_since_best": 0,
+            "plateau_since_best": 0,
+        }
+        start_epoch = int(fit_state["epoch"])
+        best_val_loss = float(fit_state["best_val_loss"])
+        epochs_since_best = int(fit_state["epochs_since_best"])
+        plateau_since_best = int(fit_state["plateau_since_best"])
+        lr_scale = _get_lr_scale(self.opt_state)  # restored with opt_state on resume
         history: dict[str, float] = {}
-        rng = jax.random.key(self.cfg.seed + 7)
+        base_rng = jax.random.key(self.cfg.seed + 7)
 
         n_epochs = 1 if self.cfg.fast_dev_run else self.cfg.epochs
-        for epoch in range(n_epochs):
+        for epoch in range(start_epoch, n_epochs):
             t0 = time.time()
+            # per-epoch stream derived from the epoch index, so a resumed run
+            # continues the exact rng sequence a straight-through run would use
+            rng = jax.random.fold_in(base_rng, epoch)
             losses, train_probs, train_labels = [], [], []
             for batch in self.dm.train_batches(epoch):
                 rng, step_rng = jax.random.split(rng)
@@ -306,10 +317,6 @@ class Trainer:
                 "epoch_time_s": time.time() - t0,
             }
             self.logger.log(epoch, metrics)
-            self.ckpts.save_epoch(
-                {"params": self.params}, epoch,
-                {k: metrics[k] for k in ("val_loss", "val_auc", "val_accuracy")},
-            )
             history = metrics
 
             # SWA running average (ref StochasticWeightAveraging callback)
@@ -332,12 +339,12 @@ class Trainer:
             else:
                 epochs_since_best += 1
                 plateau_since_best += 1
-            if epochs_since_best >= self.cfg.patience:
-                break
+            stop = epochs_since_best >= self.cfg.patience
 
             # ReduceLROnPlateau every reduce_lr_every epochs (ref frequency=10)
             if (
-                (epoch + 1) % self.cfg.reduce_lr_every == 0
+                not stop
+                and (epoch + 1) % self.cfg.reduce_lr_every == 0
                 and plateau_since_best >= self.cfg.reduce_lr_patience
                 and lr_scale > self.cfg.min_lr_scale
             ):
@@ -345,10 +352,64 @@ class Trainer:
                 self.opt_state = _set_lr_scale(self.opt_state, lr_scale)
                 plateau_since_best = 0
 
+            # metric-keyed checkpoints stay weights-only (reference
+            # save_weights_only=True); last.ckpt carries the FULL end-of-epoch
+            # train state so --resume_training restores optimizer/epoch/
+            # early-stop/plateau/lr-scale exactly
+            self.ckpts.save_epoch(
+                {"params": self.params}, epoch,
+                {k: metrics[k] for k in ("val_loss", "val_auc", "val_accuracy")},
+                last_tree=self._train_state_tree(
+                    epoch + 1, best_val_loss, epochs_since_best, plateau_since_best
+                ),
+            )
+            if stop:
+                break
+
         if self.cfg.swa and self._swa_params is not None:
             self.params = self._swa_params
-        save_pytree(self.ckpts.last_path(), {"params": self.params})
+            save_pytree(self.ckpts.last_path(), {"params": self.params})
         return history
+
+    # --------------------------------------------------------- resume support
+    def _train_state_tree(
+        self, epoch: int, best_val_loss: float, epochs_since_best: int, plateau_since_best: int
+    ) -> dict:
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "fit": {
+                "epoch": np.int64(epoch),
+                "best_val_loss": np.float64(best_val_loss),
+                "epochs_since_best": np.int64(epochs_since_best),
+                "plateau_since_best": np.int64(plateau_since_best),
+            },
+        }
+
+    def load_train_state(self, path: str | Path) -> bool:
+        """Restore a FULL training state written by ``fit`` (params + opt_state +
+        loop counters). Returns True on success; False if ``path`` holds an old
+        weights-only checkpoint (params are still restored then)."""
+        if self.params is None:
+            first = next(iter(self.dm.train_batches(epoch=0)))
+            self.init_params(first)
+        target = self._train_state_tree(0, 0.0, 0, 0)
+        data = Path(path).read_bytes()
+        from flax import serialization
+
+        try:
+            restored = serialization.from_bytes(target, data)
+        except (ValueError, KeyError):
+            self.load_checkpoint(path)
+            return False
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            self.params = jax.device_put(self.params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
+        self._resume_fit_state = {k: v.item() for k, v in restored["fit"].items()}
+        return True
 
     # ------------------------------------------------------------------- eval
     def evaluate(self, mode: str, save_results: bool = False, stage_name: str | None = None) -> dict:
@@ -384,19 +445,43 @@ class Trainer:
         patient_auc = auroc(agg.scores, agg.targets, self.n_classes)
         patient_report = classification_report(agg.scores, agg.targets, self.n_classes)
 
-        # Thresholds (ref load_thresholds, model_interface.py:1014-1038): binary
-        # val stages compute the Youden-J operating point (persisted to
-        # val_thresholds.csv); test stages use the 1/n_classes default.
+        # Thresholds (ref load_thresholds, model_interface.py:966-1038): val
+        # stages compute Youden-J operating points - binary on the positive
+        # class, multiclass per-class one-vs-rest - and persist them to
+        # val_thresholds.csv; test stages load the persisted thresholds when
+        # present, else fall back to the 1/n_classes default.
         thresholds = [1.0 / self.n_classes] * self.n_classes
-        if mode != "test" and self.n_classes <= 2 and len(np.unique(agg.targets)) > 1:
-            *_, thr = youden_j_threshold(agg.scores[:, 1], agg.targets)
-            thresholds = [thr, thr]
+        if mode != "test" and len(np.unique(agg.targets)) > 1:
+            if self.n_classes <= 2:
+                *_, thr = youden_j_threshold(agg.scores[:, 1], agg.targets)
+                thresholds = [thr, thr]
+            else:
+                for c in range(self.n_classes):
+                    y = (agg.targets == c).astype(np.int64)
+                    if y.min() != y.max():
+                        *_, thr = youden_j_threshold(agg.scores[:, c], y)
+                        thresholds[c] = thr
             try:
                 import pandas as pd
 
-                pd.DataFrame({"slide": [thr], "patient": [thr]}).to_csv(
-                    self.log_dir / "val_thresholds.csv", index=False
-                )
+                pd.DataFrame(
+                    {f"class_{c}": [thresholds[c]] for c in range(self.n_classes)}
+                ).to_csv(self.log_dir / "val_thresholds.csv", index=False)
+            except Exception:
+                pass
+        elif mode == "test" and (self.log_dir / "val_thresholds.csv").exists():
+            try:
+                import pandas as pd
+
+                row = pd.read_csv(self.log_dir / "val_thresholds.csv").iloc[0]
+                loaded = [
+                    float(row[f"class_{c}"]) for c in range(self.n_classes)
+                    if f"class_{c}" in row
+                ]
+                if len(loaded) == self.n_classes:
+                    thresholds = loaded
+                elif "patient" in row:  # legacy binary format
+                    thresholds = [float(row["patient"])] * self.n_classes
             except Exception:
                 pass
 
@@ -497,8 +582,17 @@ class Trainer:
 
     # ------------------------------------------------------------- persistence
     def load_checkpoint(self, path: str | Path) -> None:
+        """Weights-only restore (eval path); accepts both weights-only metric
+        checkpoints and full-train-state last.ckpt files."""
         if self.params is None:
             first = next(iter(self.dm.eval_batches("test")))
             self.init_params(first)
-        restored = load_pytree(path, {"params": self.params})
+        data = Path(path).read_bytes()
+        from flax import serialization
+
+        try:
+            restored = serialization.from_bytes({"params": self.params}, data)
+        except (ValueError, KeyError):
+            target = self._train_state_tree(0, 0.0, 0, 0)
+            restored = serialization.from_bytes(target, data)
         self.params = restored["params"]

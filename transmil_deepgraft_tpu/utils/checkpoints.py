@@ -75,10 +75,15 @@ class CheckpointManager:
         self.dir.mkdir(parents=True, exist_ok=True)
         self.monitors = {name: Monitor(name, mode, k) for name, mode, k in monitors}
 
-    def save_epoch(self, tree: Any, epoch: int, metrics: dict[str, float]) -> list[str]:
-        """Save ``last`` and any monitor-qualifying checkpoints; returns saved names."""
+    def save_epoch(
+        self, tree: Any, epoch: int, metrics: dict[str, float], last_tree: Any = None
+    ) -> list[str]:
+        """Save ``last`` and any monitor-qualifying checkpoints; returns saved
+        names. ``last_tree`` (default: ``tree``) is what ``last.ckpt`` gets -
+        the trainer passes the full train state there while metric-keyed
+        checkpoints stay weights-only (reference save_weights_only=True)."""
         saved = []
-        save_pytree(self.dir / "last.ckpt", tree)
+        save_pytree(self.dir / "last.ckpt", last_tree if last_tree is not None else tree)
         (self.dir / "last.json").write_text(json.dumps({"epoch": epoch, **metrics}))
         saved.append("last.ckpt")
 
