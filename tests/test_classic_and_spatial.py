@@ -62,7 +62,7 @@ def test_ctmil_forward():
 def test_monai_mil_modes():
     x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 50, 64), dtype=np.float32))
     for mode in ("mean", "max", "att", "att_trans"):
-        model = MonaiMIL(n_classes=3, in_features=64, mil_mode=mode, trans_blocks=1, attn_dim=64)
+        model = MonaiMIL(n_classes=3, in_features=64, mil_mode=mode, trans_blocks=1)
         variables = model.init({"params": jax.random.key(0)}, x)
         logits = model.apply(variables, x)
         assert logits.shape == (1, 3), mode

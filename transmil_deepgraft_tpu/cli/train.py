@@ -74,14 +74,22 @@ def build(cfg, log_dir: str | None = None):
         fine_tune=bool(cfg.fine_tune),
         dataset_name=str(cfg.Data.dataset_name or "custom"),
         fold=int(cfg.Data.fold or 0),
-        tile_size=int(cfg.Data.tile_size or 224),
+        # inception expects 299x299 tiles (ref classic_jpg_dataloader.py resize)
+        tile_size=int(cfg.Data.tile_size or (299 if model_name == "inception" else 224)),
         # dataset variant by model (ref data_interface.py:166-177): spatial grids
         # for CTMIL/resnet50 heads; precomputed feature bags otherwise (the main
         # path even for retccl-backbone configs). 'images'/'tiles' opt in via
         # cfg.Data.variant for in-graph-backbone / classic runs.
         variant=str(
             cfg.Data.variant
-            or ("spatial" if model_name in ("CTMIL", "resnet50") else "features")
+            or (
+                # classic per-tile pipeline iff Model.name is a plain CNN/ViT
+                # (ref train.py:117-120); resnet50/CTMIL -> spatial feature
+                # volumes (ref data_interface.py:172-174)
+                "tiles" if model_name in ("inception", "resnet18", "vit", "efficientnet")
+                else "spatial" if model_name in ("CTMIL", "resnet50")
+                else "features"
+            )
         ),
     )
     if dm.variant in ("images", "tiles"):

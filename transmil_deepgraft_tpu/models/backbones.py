@@ -35,6 +35,7 @@ BACKBONE_DIMS = {
     "vit": 768,
     "dino": 768,
     "efficientnet": 1280,
+    "inception": 2048,
 }
 
 
@@ -91,6 +92,12 @@ def create_backbone(name: str, out_features: int = 512) -> tuple[Optional[nn.Mod
         from transmil_deepgraft_tpu.models.vit import vit_base
 
         return vit_base(), 768
+    if name == "inception":
+        # classic zoo's inception_v3 (ref model_interface_classic.py:198-204;
+        # tiles resized to 299 by the classic loader)
+        from transmil_deepgraft_tpu.models.inception import inception_v3
+
+        return inception_v3(), 2048
     if name == "efficientnet":
         # ref: hub efficientnet + Linear(1280, out) + GELU (model_interface.py:260-267)
         from transmil_deepgraft_tpu.models.efficientnet import efficientnet_b0
@@ -111,6 +118,7 @@ class ImageMILModel(nn.Module):
     head: nn.Module
     n_chunks: int = 10
     stop_backbone_gradient: bool = True
+    pyramid: bool = False  # MONAI att_trans_pyramid: stream per-stage features too
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True, return_attn: bool = False):
@@ -127,17 +135,26 @@ class ImageMILModel(nn.Module):
 
         # nn.scan streams chunks through the backbone sequentially with shared
         # params/batch_stats: activation memory is one chunk, not the whole bag.
+        kwargs = {"return_pyramid": True} if self.pyramid else {}
         scan_backbone = nn.scan(
-            lambda mdl, carry, chunk: (carry, mdl(chunk, train=False)),
+            lambda mdl, carry, chunk: (carry, mdl(chunk, train=False, **kwargs)),
             variable_broadcast=["params", "batch_stats"],
             split_rngs={"params": False, "dropout": False},
             in_axes=0,
             out_axes=0,
         )
-        _, feats = scan_backbone(self.backbone, None, tiles_chunked)
+        _, out = scan_backbone(self.backbone, None, tiles_chunked)
 
-        feats = feats.reshape(chunks * per, -1)[:n_total]
-        if self.stop_backbone_gradient:
-            feats = jax.lax.stop_gradient(feats)
-        feats = feats.reshape(b, bag, -1)
-        return self.head(feats, deterministic=deterministic, return_attn=return_attn)
+        def unchunk(t):
+            t = t.reshape(chunks * per, -1)[:n_total]
+            if self.stop_backbone_gradient:
+                t = jax.lax.stop_gradient(t)
+            return t.reshape(b, bag, -1)
+
+        if self.pyramid:
+            feats, pyr = out
+            return self.head(
+                unchunk(feats), pyramid=tuple(unchunk(p) for p in pyr),
+                deterministic=deterministic, return_attn=return_attn,
+            )
+        return self.head(unchunk(out), deterministic=deterministic, return_attn=return_attn)

@@ -1,10 +1,10 @@
 """Classic per-tile classifiers (the reference's ModelInterface_Classic zoo).
 
 Ref ``code/models/model_interface_classic.py:197-305``: plain CNN/ViT
-classifiers over single tiles (labels inherited from the slide) - resnet18/
-resnet50/vit/efficientnet (+ inception in torch, whose closest in-zoo analogue
-here is efficientnet). Each wraps a backbone with a linear head; pairs with
-``JPGTileDataset`` and ``TrainerConfig(tile_level=True)``.
+classifiers over single tiles (labels inherited from the slide) - inception/
+resnet18/resnet50/vit/efficientnet. Each wraps a backbone with a linear head;
+pairs with ``JPGTileDataset`` and ``TrainerConfig(tile_level=True)``.
+inception expects 299x299 tiles (the classic loader resizes).
 """
 
 from __future__ import annotations

@@ -47,6 +47,7 @@ class MBConv(nn.Module):
     stride: int
     out_ch: int
     se_ratio: float = 0.25
+    widese: bool = False  # NVIDIA 'widese': SE bottleneck from EXPANDED width
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -63,7 +64,8 @@ class MBConv(nn.Module):
             use_bias=False, name="dw_conv",
         )(h)
         h = nn.silu(bn(name="dw_bn")(h))
-        h = SqueezeExcite(max(1, int(in_ch * self.se_ratio)), name="se")(h)
+        se_base = mid if self.widese else in_ch
+        h = SqueezeExcite(max(1, int(se_base * self.se_ratio)), name="se")(h)
         h = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="project_conv")(h)
         h = bn(name="project_bn")(h)
         if self.stride == 1 and in_ch == self.out_ch:
@@ -75,6 +77,7 @@ class EfficientNet(nn.Module):
     stages: Sequence[tuple[int, int, int, int, int]] = B0_STAGES
     head_ch: int = 1280
     num_classes: int = 0  # 0 -> pooled 1280-d features
+    widese: bool = False  # the reference hub model is nvidia widese_b0
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -83,7 +86,10 @@ class EfficientNet(nn.Module):
         h = nn.silu(bn(name="stem_bn")(h))
         for si, (e, k, s, c, r) in enumerate(self.stages):
             for b in range(r):
-                h = MBConv(e, k, s if b == 0 else 1, c, name=f"stage{si}_block{b}")(h, train=train)
+                h = MBConv(
+                    e, k, s if b == 0 else 1, c, widese=self.widese,
+                    name=f"stage{si}_block{b}",
+                )(h, train=train)
         h = nn.Conv(self.head_ch, (1, 1), use_bias=False, name="head_conv")(h)
         h = nn.silu(bn(name="head_bn")(h))
         h = jnp.mean(h, axis=(1, 2))

@@ -289,6 +289,63 @@ class TransformerBlock(nn.Module):
         return x
 
 
+class TorchEncoderLayer(nn.Module):
+    """torch ``nn.TransformerEncoderLayer`` semantics (post-norm, ReLU FFN,
+    packed qkv): used by the MONAI MIL heads (ref ``MonaiMILModel.py:121-152``,
+    which builds ``nn.TransformerEncoder`` stacks). Param names mirror torch's
+    (``in_proj``/``out_proj``/``linear1``/``linear2``/``norm1``/``norm2``) so a
+    torch state dict converts by pure transpose mapping."""
+
+    d_model: int
+    nhead: int = 8
+    dim_feedforward: int = 2048
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        b, n, d = x.shape
+        dh = d // self.nhead
+        qkv = nn.Dense(3 * d, name="in_proj")(x)  # torch packs [q; k; v]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, n, self.nhead, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, n, self.nhead, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n, self.nhead, dh).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(logits / jnp.sqrt(dh), axis=-1)
+        attn = nn.Dropout(rate=self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32))
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, d).astype(x.dtype)
+        out = nn.Dense(d, name="out_proj")(out)
+        out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + out)
+
+        ff = nn.relu(nn.Dense(self.dim_feedforward, name="linear1")(x))
+        ff = nn.Dropout(rate=self.dropout)(ff, deterministic=deterministic)
+        ff = nn.Dense(d, name="linear2")(ff)
+        ff = nn.Dropout(rate=self.dropout)(ff, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + ff)
+
+
+class TorchTransformerEncoder(nn.Module):
+    """Stack of :class:`TorchEncoderLayer` (torch ``nn.TransformerEncoder``)."""
+
+    d_model: int
+    num_layers: int = 4
+    nhead: int = 8
+    dim_feedforward: int = 2048
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        for i in range(self.num_layers):
+            x = TorchEncoderLayer(
+                d_model=self.d_model, nhead=self.nhead,
+                dim_feedforward=self.dim_feedforward, dropout=self.dropout,
+                name=f"layers_{i}",
+            )(x, deterministic=deterministic)
+        return x
+
+
 def make_fc1(
     in_features: int, out_features: int, dtype: Any = jnp.float32
 ) -> Callable[[jax.Array, bool], jax.Array]:

@@ -132,8 +132,15 @@ class ResNet(nn.Module):
     truncate_after: int = 4  # 3 -> CLAM baseline (1024-d)
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        """x: (B, H, W, 3) NHWC. Returns logits or pooled features."""
+    def __call__(
+        self, x: jax.Array, *, train: bool = False, return_pyramid: bool = False
+    ) -> jax.Array:
+        """x: (B, H, W, 3) NHWC. Returns logits or pooled features.
+
+        ``return_pyramid=True`` additionally returns the tuple of per-stage
+        globally-pooled features (the flax answer to the reference's forward
+        hooks on layer1-4 for the MONAI ``att_trans_pyramid`` mode,
+        ``MonaiMILModel.py:72-110``)."""
         bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5)
         out = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False, name="conv1")(x)
         out = nn.relu(bn(name="bn1")(out))
@@ -143,6 +150,7 @@ class ResNet(nn.Module):
         strides = (1, 2, 2, 2)
         expansion = self.block.expansion if hasattr(self.block, "expansion") else 4
         in_planes = 64
+        pyramid = []
         for stage in range(self.truncate_after):
             p, s = planes[stage], strides[stage]
             for b in range(self.layers[stage]):
@@ -150,6 +158,8 @@ class ResNet(nn.Module):
                 downsample = b == 0 and (stride != 1 or in_planes != p * expansion)
                 out = self.block(p, stride, downsample, name=f"layer{stage + 1}_{b}")(out, train=train)
                 in_planes = p * expansion
+            if return_pyramid:
+                pyramid.append(jnp.mean(out, axis=(1, 2)))
 
         if self.attention and self.truncate_after == 4:
             att = AttentionBranch(self.block, name="att_branch")(out, train=train)
@@ -157,6 +167,8 @@ class ResNet(nn.Module):
 
         out = jnp.mean(out, axis=(1, 2))  # global average pool
 
+        if return_pyramid:
+            return out, tuple(pyramid)
         if self.num_classes == 0:
             return out
         linear = NormedLinear if self.normlinear else partial(nn.Dense)

@@ -126,6 +126,7 @@ def _calibrate(folded: dict, tiles: np.ndarray, truncate_after: int) -> dict:
         return x
 
     x = jnp.asarray(tiles, jnp.float32)
+    record["input"] = float(jnp.max(jnp.abs(x)))
     out = _stem(x, jnp.asarray(folded["conv1"][0], jnp.float32),
                 jnp.asarray(folded["conv1"][1], jnp.float32))
     for name, stride, has_ds in _block_plan(truncate_after):
@@ -161,9 +162,10 @@ class QBlock(NamedTuple):
 
 
 class QResNet50(NamedTuple):
-    stem_kernel: jax.Array  # f32 (7,7,3,64) BN-folded
-    stem_bias: jax.Array
-    in_scale: jax.Array  # () f32: first block input scale (stem output)
+    stem_w: jax.Array  # int8 (4,4,12,64): space-to-depth folded 7x7/s2 stem
+    stem_m: jax.Array  # (64,) f32 folded fma multiplier
+    stem_z: jax.Array  # (64,) f32 folded fma bias (-128-shifted)
+    input_scale: jax.Array  # () f32: symmetric input quantization scale
     blocks: tuple  # tuple[QBlock, ...]
     final_scale: jax.Array  # () f32: dequant scale for the pooled features
     truncate_after: int
@@ -176,10 +178,10 @@ jax.tree_util.register_pytree_node(
 jax.tree_util.register_pytree_node(
     QResNet50,
     lambda q: (
-        (q.stem_kernel, q.stem_bias, q.in_scale, q.blocks, q.final_scale),
+        (q.stem_w, q.stem_m, q.stem_z, q.input_scale, q.blocks, q.final_scale),
         (q.truncate_after, q.feature_dim),
     ),
-    lambda aux, c: QResNet50(c[0], c[1], c[2], c[3], c[4], aux[0], aux[1]),
+    lambda aux, c: QResNet50(*c, aux[0], aux[1]),
 )
 
 
@@ -239,10 +241,28 @@ def build_qresnet50(
             id_mult=jnp.asarray(id_mult, jnp.float32),
         ))
 
+    # Stem as a space-to-depth int8 conv: the 7x7/s2 conv on (224,224,3) is
+    # exactly a 4x4/s1 conv on the s2d-by-2 input (112,112,12) with the kernel
+    # zero-padded to 8x8 at the top-left (receptive fields start at odd rows)
+    # and reshaped to match the (di, dj, ci) channel packing. 3-input-channel
+    # convs are MXU-hostile (K=27); s2d lifts K to 192. Inputs quantize
+    # SYMMETRICALLY (images, not relu outputs) so implicit zero padding and
+    # the s2d reshape stay exact. The stem epilogue requantizes straight to
+    # the first block's input scale; maxpool then runs on int8 codes
+    # (order-preserving, and max(post-pool) == max(pre-pool) since stride-2
+    # size-3 windows cover every position - the calibrated scale transfers).
+    stem_k, stem_b = folded["conv1"]
+    k8 = np.zeros((8, 8, 3, 64))
+    k8[1:, 1:] = np.asarray(stem_k)
+    k_s2d = k8.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, 64)
+    stem_wq, stem_sw = quantize_weight(np.asarray(k_s2d, np.float32))
+    s_inp = max(record["input"], 1e-12) / 127.0
+    s_block1 = act_scale(f"{plan[0][0]}.conv1")
     return QResNet50(
-        stem_kernel=jnp.asarray(folded["conv1"][0], jnp.float32),
-        stem_bias=jnp.asarray(folded["conv1"][1], jnp.float32),
-        in_scale=jnp.asarray(act_scale(f"{plan[0][0]}.conv1"), jnp.float32),
+        stem_w=jnp.asarray(stem_wq),
+        stem_m=jnp.asarray(s_inp * stem_sw.astype(np.float64) / s_block1, jnp.float32),
+        stem_z=jnp.asarray(np.asarray(stem_b, np.float64) / s_block1 - 128.0, jnp.float32),
+        input_scale=jnp.asarray(s_inp, jnp.float32),
         blocks=tuple(blocks),
         final_scale=jnp.asarray(act_scale("final"), jnp.float32),
         truncate_after=truncate_after,
@@ -265,9 +285,24 @@ def _rq(acc, m, z):
 
 
 def apply_qresnet50(q: QResNet50, tiles: jax.Array) -> jax.Array:
-    """tiles (N, 224, 224, 3) f32/bf16 -> features (N, feature_dim) f32."""
-    out = _stem(tiles, q.stem_kernel, q.stem_bias)  # f32, >= 0
-    out_q = quantize_act_relu(out, q.in_scale)
+    """tiles (N, H, W, 3) f32/bf16 (H, W even) -> features (N, feature_dim) f32."""
+    n, hh, ww, _ = tiles.shape
+    x_q = jnp.clip(
+        jnp.round(tiles.astype(jnp.float32) / q.input_scale), -127, 127
+    ).astype(jnp.int8)
+    # space-to-depth by 2: (N, H, W, 3) -> (N, H/2, W/2, 12), channel (di,dj,ci)
+    x_q = x_q.reshape(n, hh // 2, 2, ww // 2, 2, 3)
+    x_q = x_q.transpose(0, 1, 3, 2, 4, 5).reshape(n, hh // 2, ww // 2, 12)
+    acc = jax.lax.conv_general_dilated(
+        x_q, q.stem_w, (1, 1), [(2, 1), (2, 1)],  # implicit 0-pad exact: symmetric quant
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    stem_q = _rq(acc, q.stem_m, q.stem_z)  # relu via the clip floor
+    out_q = jax.lax.reduce_window(
+        stem_q, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
     plan = list(_block_plan(q.truncate_after))
     for blk, (_, stride, has_ds) in zip(q.blocks, plan):
         h = _rq(_conv_q(out_q, blk.w1), blk.m1, blk.z1)

@@ -42,7 +42,7 @@ class ViTBlock(nn.Module):
         x = x + out
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU (erf) like DINO
         y = nn.Dense(self.dim, name="fc2")(y)
         return x + y
 
@@ -54,6 +54,7 @@ class VisionTransformer(nn.Module):
     heads: int = 12
     mlp_ratio: float = 4.0
     num_classes: int = 0  # 0 -> cls-token features
+    img_size: int = 224  # pos-embed grid; off-grid inputs interpolate
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False, deterministic: bool = True):
@@ -68,7 +69,7 @@ class VisionTransformer(nn.Module):
         pos = self.param(
             "pos_embed",
             nn.initializers.truncated_normal(0.02),
-            (1, (224 // p) ** 2 + 1, self.dim),
+            (1, (self.img_size // p) ** 2 + 1, self.dim),
         )
         pos_patches = _interpolate_pos_embed(pos[:, 1:], gh, gw, self.dim)
         feat = feat + pos_patches

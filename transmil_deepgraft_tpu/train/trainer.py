@@ -535,10 +535,12 @@ class Trainer:
 
     # --------------------------------------------------------------- reporting
     def _label_map(self) -> dict[str, str]:
-        lm = LABEL_MAP.get(self.cfg.task)
-        if lm is None:
-            lm = {str(i): f"class_{i}" for i in range(self.n_classes)}
-        return lm
+        """Task label map, padded with class_{i} entries when the configured
+        n_classes exceeds the task's map (e.g. task-less configs)."""
+        lm = dict(LABEL_MAP.get(self.cfg.task) or {})
+        for i in range(self.n_classes):
+            lm.setdefault(str(i), f"class_{i}")
+        return {str(i): lm[str(i)] for i in range(self.n_classes)}
 
     def _save_results(self, agg, mode: str = "test") -> None:
         """TEST_RESULT_PATIENT.csv / TEST_RESULT_SLIDE.csv (ref

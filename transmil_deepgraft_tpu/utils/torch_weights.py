@@ -258,6 +258,211 @@ def convert_dtfd_state_dict(state_dict: Mapping[str, Any]) -> dict:
     return {"params": p}
 
 
+def convert_efficientnet_state_dict(state_dict: Mapping[str, Any]) -> dict:
+    """torchvision-layout EfficientNet-B0 state dict (``features.{i}.{b}.block.
+    {j}...``) -> flax variables for
+    :class:`transmil_deepgraft_tpu.models.efficientnet.EfficientNet`.
+
+    Works for both the standard B0 SE widths and the NVIDIA 'widese' variant
+    (same key layout, different SE bottleneck shapes - the converter is
+    shape-agnostic). Golden-tested against a live torch fixture in
+    ``tests/test_backbone_converters.py``."""
+    from transmil_deepgraft_tpu.models.efficientnet import B0_STAGES
+
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    params: dict = {}
+    stats: dict = {}
+
+    def conv(dst: str, src: str, depthwise: bool = False) -> None:
+        w = _np(sd[f"{src}.weight"])
+        params[dst] = {"kernel": w.transpose(2, 3, 1, 0)}
+        if f"{src}.bias" in sd:
+            params[dst]["bias"] = _np(sd[f"{src}.bias"])
+
+    def bn(dst: str, src: str) -> None:
+        params[dst] = {"scale": _np(sd[f"{src}.weight"]), "bias": _np(sd[f"{src}.bias"])}
+        stats[dst] = {"mean": _np(sd[f"{src}.running_mean"]), "var": _np(sd[f"{src}.running_var"])}
+
+    conv("stem_conv", "features.0.0")
+    bn("stem_bn", "features.0.1")
+    for si, (e, _k, _s, _c, r) in enumerate(B0_STAGES):
+        for b in range(r):
+            t = f"features.{si + 1}.{b}.block"
+            f = f"stage{si}_block{b}"
+            idx = 0
+            if e != 1:
+                conv(f"{f}.expand_conv", f"{t}.{idx}.0")
+                bn(f"{f}.expand_bn", f"{t}.{idx}.1")
+                idx += 1
+            conv(f"{f}.dw_conv", f"{t}.{idx}.0", depthwise=True)
+            bn(f"{f}.dw_bn", f"{t}.{idx}.1")
+            idx += 1
+            conv(f"{f}.se.reduce", f"{t}.{idx}.fc1")
+            conv(f"{f}.se.expand", f"{t}.{idx}.fc2")
+            idx += 1
+            conv(f"{f}.project_conv", f"{t}.{idx}.0")
+            bn(f"{f}.project_bn", f"{t}.{idx}.1")
+    conv("head_conv", "features.8.0")
+    bn("head_bn", "features.8.1")
+    if "classifier.1.weight" in sd:
+        params["classifier"] = {
+            "kernel": _np(sd["classifier.1.weight"]).T,
+            "bias": _np(sd["classifier.1.bias"]),
+        }
+
+    def nest(flat: dict) -> dict:
+        tree: dict = {}
+        for key, value in flat.items():
+            node = tree
+            parts = key.split(".")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = value
+        return tree
+
+    return {"params": nest(params), "batch_stats": nest(stats)}
+
+
+def convert_vit_state_dict(state_dict: Mapping[str, Any]) -> dict:
+    """DINO / timm ViT state dict (``facebook/dino-vitb16``-style naming:
+    ``patch_embed.proj``, ``blocks.{i}.attn.qkv`` ...) -> flax params for
+    :class:`transmil_deepgraft_tpu.models.vit.VisionTransformer`."""
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    p: dict = {
+        "cls_token": _np(sd["cls_token"]),
+        "pos_embed": _np(sd["pos_embed"]),
+        "patch_embed": {
+            "kernel": _np(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd["patch_embed.proj.bias"]),
+        },
+        "norm": {"scale": _np(sd["norm.weight"]), "bias": _np(sd["norm.bias"])},
+    }
+    i = 0
+    while f"blocks.{i}.norm1.weight" in sd:
+        blk: dict = {}
+        for norm in ("norm1", "norm2"):
+            blk[norm] = {
+                "scale": _np(sd[f"blocks.{i}.{norm}.weight"]),
+                "bias": _np(sd[f"blocks.{i}.{norm}.bias"]),
+            }
+        blk["qkv"] = {
+            "kernel": _np(sd[f"blocks.{i}.attn.qkv.weight"]).T,
+            "bias": _np(sd[f"blocks.{i}.attn.qkv.bias"]),
+        }
+        blk["proj"] = {
+            "kernel": _np(sd[f"blocks.{i}.attn.proj.weight"]).T,
+            "bias": _np(sd[f"blocks.{i}.attn.proj.bias"]),
+        }
+        for fc in ("fc1", "fc2"):
+            blk[fc] = {
+                "kernel": _np(sd[f"blocks.{i}.mlp.{fc}.weight"]).T,
+                "bias": _np(sd[f"blocks.{i}.mlp.{fc}.bias"]),
+            }
+        p[f"block{i}"] = blk
+        i += 1
+    if "head.weight" in sd:
+        p["head"] = {"kernel": _np(sd["head.weight"]).T, "bias": _np(sd["head.bias"])}
+    return {"params": p}
+
+
+def convert_inception_state_dict(state_dict: Mapping[str, Any]) -> dict:
+    """torchvision ``inception_v3`` state dict -> flax variables for
+    :class:`transmil_deepgraft_tpu.models.inception.InceptionV3`. Module names
+    mirror torchvision's exactly, so this is a generic conv/bn/linear walk.
+    AuxLogits.* keys are skipped (eval-mode model)."""
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree: dict, path: list[str], value) -> None:
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    for key, value in state_dict.items():
+        parts = key.split(".")
+        if parts[0].startswith("module"):
+            parts = parts[1:]
+        if parts[0] == "AuxLogits" or parts[0] == "model":
+            if parts[0] == "AuxLogits":
+                continue
+            parts = parts[1:]
+        v = _np(value)
+        leaf = parts[-1]
+        mod = parts[-2] if len(parts) >= 2 else ""
+        if mod == "conv" and leaf == "weight":
+            put(params, parts[:-1] + ["kernel"], v.transpose(2, 3, 1, 0))
+        elif mod == "bn":
+            _put_bn(params, stats, parts[:-1], leaf, v)
+        elif parts[0] == "fc":
+            if leaf == "weight":
+                put(params, ["fc", "kernel"], v.T)
+            else:
+                put(params, ["fc", "bias"], v)
+        # num_batches_tracked and anything else: ignored
+
+    return {"params": params, "batch_stats": stats}
+
+
+def _torch_encoder_params(sd: Mapping[str, Any], prefix: str) -> dict:
+    """torch ``nn.TransformerEncoder`` state dict -> flax params for
+    :class:`transmil_deepgraft_tpu.models.layers.TorchTransformerEncoder`."""
+    out: dict = {}
+    i = 0
+    while f"{prefix}layers.{i}.self_attn.in_proj_weight" in sd:
+        layer = {
+            "in_proj": {
+                "kernel": _np(sd[f"{prefix}layers.{i}.self_attn.in_proj_weight"]).T,
+                "bias": _np(sd[f"{prefix}layers.{i}.self_attn.in_proj_bias"]),
+            },
+            "out_proj": {
+                "kernel": _np(sd[f"{prefix}layers.{i}.self_attn.out_proj.weight"]).T,
+                "bias": _np(sd[f"{prefix}layers.{i}.self_attn.out_proj.bias"]),
+            },
+        }
+        for lin in ("linear1", "linear2"):
+            layer[lin] = {
+                "kernel": _np(sd[f"{prefix}layers.{i}.{lin}.weight"]).T,
+                "bias": _np(sd[f"{prefix}layers.{i}.{lin}.bias"]),
+            }
+        for norm in ("norm1", "norm2"):
+            layer[norm] = {
+                "scale": _np(sd[f"{prefix}layers.{i}.{norm}.weight"]),
+                "bias": _np(sd[f"{prefix}layers.{i}.{norm}.bias"]),
+            }
+        out[f"layers_{i}"] = layer
+        i += 1
+    if i == 0:
+        raise KeyError(f"no encoder layers under '{prefix}'")
+    return out
+
+
+def convert_monai_mil_state_dict(state_dict: Mapping[str, Any], mil_mode: str = "att_trans") -> dict:
+    """torch MONAI MILModel head (ref ``MonaiMILModel.py:11-232``) -> flax params
+    for :class:`transmil_deepgraft_tpu.models.monai_mil.MonaiMIL`. Backbone keys
+    (``net.*``) convert separately via :func:`convert_resnet_state_dict`."""
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    p: dict = {}
+
+    def lin(dst: str, src: str) -> None:
+        p[dst] = {"kernel": _np(sd[f"{src}.weight"]).T, "bias": _np(sd[f"{src}.bias"])}
+
+    lin("myfc", "myfc")
+    if mil_mode in ("att", "att_trans", "att_trans_pyramid"):
+        lin("attention_0", "attention.0")
+        lin("attention_1", "attention.2")
+    if mil_mode == "att_trans":
+        p["transformer"] = _torch_encoder_params(sd, "transformer.")
+    elif mil_mode == "att_trans_pyramid":
+        p["transformer_0"] = _torch_encoder_params(sd, "transformer.0.")
+        lin("transformer_1_proj", "transformer.1.0")
+        p["transformer_1"] = _torch_encoder_params(sd, "transformer.1.1.")
+        lin("transformer_2_proj", "transformer.2.0")
+        p["transformer_2"] = _torch_encoder_params(sd, "transformer.2.1.")
+        p["transformer_3"] = _torch_encoder_params(sd, "transformer.3.")
+    return {"params": p}
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a .pth/.ckpt with torch (CPU); returns the raw state dict
     (unwraps Lightning's ``state_dict`` key)."""
