@@ -1,0 +1,95 @@
+"""Round-2 surface completeness: lovasz loss, affine/elastic transforms,
+export_metrics per-class CIs + multi-run comparison figures."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from transmil_deepgraft_tpu.data.transforms import random_affine, random_elastic
+from transmil_deepgraft_tpu.train.losses import create_loss, lovasz_softmax
+
+
+def test_lovasz_registered_and_sane():
+    fn = create_loss("lovasz")
+    assert fn is lovasz_softmax
+    # perfect predictions -> ~0 loss
+    logits = jnp.asarray([[10.0, -10.0], [-10.0, 10.0], [10.0, -10.0]])
+    targets = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]])
+    assert float(lovasz_softmax(logits, targets)) < 1e-3
+    # inverted predictions -> high loss
+    bad = float(lovasz_softmax(-logits, targets))
+    assert bad > 0.9
+
+
+def test_lovasz_matches_manual_binary():
+    """Hand-computed Lovasz extension on a tiny case."""
+    p1 = np.array([0.9, 0.4, 0.6])  # class-1 probs
+    fg = np.array([1.0, 0.0, 1.0])
+    errors = np.abs(fg - p1)
+    order = np.argsort(-errors)
+    es, fs = errors[order], fg[order]
+    gts = fs.sum()
+    inter = gts - np.cumsum(fs)
+    union = gts + np.cumsum(1 - fs)
+    jac = 1.0 - inter / union
+    grad = np.concatenate([jac[:1], np.diff(jac)])
+    expected_c1 = float(es @ grad)
+
+    p0 = 1.0 - p1
+    fg0 = 1.0 - fg
+    e0 = np.abs(fg0 - p0)
+    o0 = np.argsort(-e0)
+    es0, fs0 = e0[o0], fg0[o0]
+    g0 = fs0.sum()
+    jac0 = 1.0 - (g0 - np.cumsum(fs0)) / (g0 + np.cumsum(1 - fs0))
+    grad0 = np.concatenate([jac0[:1], np.diff(jac0)])
+    expected = (expected_c1 + float(es0 @ grad0)) / 2
+
+    logits = np.log(np.stack([p0, p1], axis=1))
+    targets = np.stack([fg0, fg], axis=1)
+    got = float(lovasz_softmax(jnp.asarray(logits), jnp.asarray(targets)))
+    assert got == pytest.approx(expected, abs=1e-5)
+
+
+@pytest.mark.parametrize("fn,kwargs", [
+    (random_affine, {"alpha": 0.1}),
+    (random_elastic, {"alpha": 2.0, "sigma": 0.06}),
+])
+def test_geometric_transforms(fn, kwargs, rng):
+    img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    out = fn(img, rng=np.random.default_rng(1), **kwargs)
+    assert out.shape == img.shape and out.dtype == img.dtype
+    assert not np.array_equal(out, img)  # actually warped
+    # values come from the source image (nearest-neighbor sampling)
+    assert set(np.unique(out)) <= set(np.unique(img))
+    # deterministic under the same rng seed
+    again = fn(img, rng=np.random.default_rng(1), **kwargs)
+    np.testing.assert_array_equal(out, again)
+
+
+def test_export_combined_figures(tmp_path, rng):
+    import pandas as pd
+
+    from transmil_deepgraft_tpu.utils.export_metrics import export_combined
+
+    for run in ("runA", "runB"):
+        d = tmp_path / run
+        d.mkdir()
+        n = 40
+        targets = rng.integers(0, 2, n)
+        scores = np.clip(targets * 0.4 + rng.random(n) * 0.6, 0, 1)
+        pd.DataFrame({
+            "PATIENT": [f"p{i}" for i in range(n)],
+            "yTrue": targets,
+            "class_0": 1 - scores,
+            "class_1": scores,
+        }).to_csv(d / "TEST_RESULT_PATIENT.csv")
+
+    out_csv = tmp_path / "combined.csv"
+    export_combined([tmp_path / "runA", tmp_path / "runB"], task="", n_classes=2, out_csv=out_csv)
+    df = pd.read_csv(out_csv)
+    assert len(df) == 4  # 2 runs x 2 per-class rows
+    assert {"auroc", "ci_low", "ci_high"} <= set(df.columns)
+    assert (tmp_path / "combined_roc_comparison.png").exists()
+    assert (tmp_path / "combined_auroc_bars.png").exists()

@@ -75,7 +75,7 @@ class NystromAttentionLayer(nn.Module):
         if use_pallas is None:
             use_pallas = False
         cls_row = None
-        if use_pallas and return_row_index is None:
+        if use_pallas:
             from transmil_deepgraft_tpu.ops.pallas.nystrom_kernel import (
                 nystrom_attention_fused_packed,
             )
@@ -84,6 +84,19 @@ class NystromAttentionLayer(nn.Module):
             out_bnhd = nystrom_attention_fused_packed(
                 qkv, self.num_landmarks, self.pinv_iterations, 1024
             )  # (b, np, h, d) f32
+            if return_row_index is not None:
+                # visualization row via the O(n*m) row helper - the fused path
+                # serves return_attn without falling back to the full XLA op
+                from transmil_deepgraft_tpu.ops.nystrom import nystrom_attention_row
+
+                q_pl = jnp.moveaxis(qkv[:, :, 0], 2, 1)
+                k_pl = jnp.moveaxis(qkv[:, :, 1], 2, 1)
+                cls_row = nystrom_attention_row(
+                    q_pl, k_pl,
+                    num_landmarks=self.num_landmarks,
+                    pinv_iterations=self.pinv_iterations,
+                    row_index=return_row_index,
+                )
         else:
             q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))
             result = nystrom_attention(

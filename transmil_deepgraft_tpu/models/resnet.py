@@ -133,14 +133,22 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, *, train: bool = False, return_pyramid: bool = False
+        self,
+        x: jax.Array,
+        *,
+        train: bool = False,
+        return_pyramid: bool = False,
+        return_spatial: bool = False,
     ) -> jax.Array:
         """x: (B, H, W, 3) NHWC. Returns logits or pooled features.
 
         ``return_pyramid=True`` additionally returns the tuple of per-stage
         globally-pooled features (the flax answer to the reference's forward
         hooks on layer1-4 for the MONAI ``att_trans_pyramid`` mode,
-        ``MonaiMILModel.py:72-110``)."""
+        ``MonaiMILModel.py:72-110``). ``return_spatial=True`` returns the
+        pre-pool (B, h, w, C) feature map of the last stage - the GradCAM
+        target layer (the reference hooks ``model[0].layer4[-1]``,
+        ``visualize_mil.py:229-231``)."""
         bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5)
         out = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False, name="conv1")(x)
         out = nn.relu(bn(name="bn1")(out))
@@ -164,6 +172,9 @@ class ResNet(nn.Module):
         if self.attention and self.truncate_after == 4:
             att = AttentionBranch(self.block, name="att_branch")(out, train=train)
             out = out + att * out
+
+        if return_spatial:
+            return out  # (B, h, w, C) pre-pool feature map
 
         out = jnp.mean(out, axis=(1, 2))  # global average pool
 

@@ -52,6 +52,11 @@ class TransMIL(nn.Module):
     out_features: int = 512
     attn_query: str = "ref"  # 'ref' (reference-exact row pad+1) or 'cls' (row pad)
     dtype: Any = jnp.float32  # bf16 for mixed precision (cfg.General.precision 16)
+    # Fused Pallas TransLayers at inference (projections + LN + attention +
+    # residuals in two kernels; 2.09x over the XLA layer at n=41k on v5e,
+    # BENCHMARKS.md). Applies when deterministic and not returning attention;
+    # training and return_attn run the standard path (same params).
+    fused_inference: bool = True
 
     @nn.compact
     def __call__(
@@ -75,9 +80,43 @@ class TransMIL(nn.Module):
         )
         h = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, self.out_features)), h], axis=1)
 
-        h, _, _ = TransLayer(dim=self.out_features, dtype=self.dtype, name="layer1")(
-            h, deterministic=deterministic
+        # The fused Pallas layer path: standard flax layers own the params
+        # (created at init / on the training path); at inference the same params
+        # drive the fully-fused kernels (translayer_kernel.fused_translayer).
+        use_fused = (
+            self.fused_inference
+            and deterministic
+            and not return_attn
+            and not self.is_initializing()
+            # Pallas TPU kernels; 'axon' is the relayed-TPU platform name
+            and jax.default_backend() in ("tpu", "axon")
         )
+
+        def run_layer(name: str, hh: jax.Array, row_index: Optional[int]):
+            if use_fused and row_index is None:
+                from transmil_deepgraft_tpu.ops.pallas.translayer_kernel import (
+                    fused_translayer,
+                )
+                from transmil_deepgraft_tpu.ops.nystrom import pad_to_landmark_multiple
+
+                p = self.get_variable("params", name)
+                m = self.out_features // 2
+                hp, padn = pad_to_landmark_multiple(hh, m)
+                y = fused_translayer(
+                    hp,
+                    p["norm"]["scale"], p["norm"]["bias"],
+                    p["attn"]["to_qkv"]["kernel"],
+                    p["attn"]["to_out"]["kernel"], p["attn"]["to_out"]["bias"],
+                    p["attn"]["res_conv"],
+                    heads=8, dim_head=self.out_features // 8, num_landmarks=m,
+                )
+                return y[:, padn:].astype(hh.dtype), None
+            out, attn_row, _ = TransLayer(dim=self.out_features, dtype=self.dtype, name=name)(
+                hh, deterministic=deterministic, return_row_index=row_index
+            )
+            return out, attn_row
+
+        h, _ = run_layer("layer1", h, None)
         h = PPEG(dim=self.out_features, dtype=self.dtype, name="pos_layer")(h, grid_h, grid_w)
 
         # The landmark front-pad for the (grid_h*grid_w + 1)-token sequence; the
@@ -90,9 +129,7 @@ class TransMIL(nn.Module):
         if return_attn:
             row_index = pad + (1 if self.attn_query == "ref" else 0)
 
-        h, attn_row, _ = TransLayer(dim=self.out_features, dtype=self.dtype, name="layer2")(
-            h, deterministic=deterministic, return_row_index=row_index
-        )
+        h, attn_row = run_layer("layer2", h, row_index)
 
         h = nn.LayerNorm(epsilon=1e-5, name="norm")(h.astype(jnp.float32))[:, 0]
         logits = nn.Dense(self.n_classes, name="fc")(h)

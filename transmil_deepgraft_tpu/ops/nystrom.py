@@ -128,6 +128,46 @@ def nystrom_attention(
     return NystromOutput(out=out, cls_row=cls_row)
 
 
+def nystrom_attention_row(
+    q: jax.Array,
+    k: jax.Array,
+    *,
+    num_landmarks: int = 256,
+    pinv_iterations: int = 6,
+    row_index: int,
+) -> jax.Array:
+    """Just the attention ROW of one query position (the visualization path):
+    ``row = (attn1[idx] @ pinv(attn2)) @ attn3`` - O(n*m), no value matmuls.
+
+    Lets the fused Pallas kernels serve ``return_attn`` without falling back to
+    the full XLA op: the kernels produce the output, this produces the row.
+    q, k: (b, h, n, d) with n a multiple of num_landmarks. Returns (b, h, n).
+    """
+    b, h, n, d = q.shape
+    m = num_landmarks
+    acc = jnp.float32
+    qf = q.astype(acc) * (d ** -0.5)
+    kf = k.astype(acc)
+    q_lm = _segment_means(qf, m)
+    k_lm = _segment_means(kf, m)
+
+    attn1_row = jax.nn.softmax(
+        jnp.einsum("bhd,bhmd->bhm", qf[:, :, row_index], k_lm, preferred_element_type=acc),
+        axis=-1,
+    )
+    attn2 = jax.nn.softmax(
+        jnp.einsum("bhmd,bhld->bhml", q_lm, k_lm, preferred_element_type=acc), axis=-1
+    )
+    attn3 = jax.nn.softmax(
+        jnp.einsum("bhmd,bhnd->bhmn", q_lm, kf, preferred_element_type=acc), axis=-1
+    )
+    row_left = jnp.einsum(
+        "bhm,bhml->bhl", attn1_row, newton_schulz_pinv(attn2, pinv_iterations),
+        preferred_element_type=acc,
+    )
+    return jnp.einsum("bhm,bhmn->bhn", row_left, attn3, preferred_element_type=acc)
+
+
 def nystrom_attention_dense_reference(
     q: jax.Array,
     k: jax.Array,

@@ -378,22 +378,114 @@ def _fwd(q, k, v, num_landmarks, pinv_iterations, block_n):
 
 
 def _bwd(num_landmarks, pinv_iterations, block_n, residuals, g):
+    del block_n
     q, k, v = residuals
-
-    def ref(q, k, v):
-        return nystrom_attention(
-            q, k, v, num_landmarks=num_landmarks, pinv_iterations=pinv_iterations
-        ).out
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    dq, dk, dv = nystrom_attention_bwd(
+        q, k, v, g, num_landmarks=num_landmarks, pinv_iterations=pinv_iterations
+    )
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 nystrom_attention_fused.defvjp(_fwd, _bwd)
 
 
+def _softmax_rows(s):
+    e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _softmax_vjp(a, da):
+    """d s for y = softmax(s) rows given a = softmax(s) and da = dy."""
+    return a * (da - jnp.sum(a * da, axis=-1, keepdims=True))
+
+
+def _expand_segments(x_lm, n):
+    """(..., m, d) -> (..., n, d): broadcast each landmark over its segment."""
+    *lead, m, d = x_lm.shape
+    seg = n // m
+    return jnp.broadcast_to(
+        x_lm[..., :, None, :], (*lead, m, seg, d)
+    ).reshape(*lead, n, d)
+
+
+def nystrom_attention_bwd(q, k, v, g, *, num_landmarks, pinv_iterations):
+    """Analytic VJP of Nystrom attention (flash-style: never reruns the forward
+    as a black box, touches only n x m intermediates - the same memory class as
+    the forward; no n x n matrix ever exists).
+
+    Forward being differentiated (ops/nystrom.py semantics):
+      Qs = Q * d**-0.5;  Qlm = segmean(Qs);  Klm = segmean(K)
+      A1 = softmax(Qs Klm^T);  A2 = softmax(Qlm Klm^T);  Z = NSpinv(A2)
+      A3 = softmax(Qlm K^T);   W3 = A3 V;    OUT = A1 (Z W3)
+
+    Returns (dQ, dK, dV) in f32.
+    """
+    b, h, n, d = q.shape
+    m = num_landmarks
+    seg = n // m
+    acc = jnp.float32
+    scale = d ** -0.5
+
+    qs = q.astype(acc) * scale
+    kf = k.astype(acc)
+    vf = v.astype(acc)
+    q_lm = _segment_means(qs, m)
+    k_lm = _segment_means(kf, m)
+
+    # recompute the small pieces (cheap); differentiate the pinv by autodiff of
+    # the Newton-Schulz iteration itself (exact VJP of what the forward ran)
+    s2 = jnp.einsum("bhmd,bhld->bhml", q_lm, k_lm, preferred_element_type=acc)
+    a2 = _softmax_rows(s2)
+    z, pinv_vjp = jax.vjp(lambda a: newton_schulz_pinv(a, pinv_iterations), a2)
+
+    a1 = _softmax_rows(jnp.einsum("bhnd,bhmd->bhnm", qs, k_lm, preferred_element_type=acc))
+    s3 = jnp.einsum("bhmd,bhnd->bhmn", q_lm, kf, preferred_element_type=acc)
+    a3 = _softmax_rows(s3)
+    w3 = jnp.einsum("bhmn,bhnd->bhmd", a3, vf, preferred_element_type=acc)
+    bmat = jnp.matmul(z, w3, preferred_element_type=acc)  # (b,h,m,d)
+
+    gf = g.astype(acc)
+    # OUT = A1 @ B
+    da1 = jnp.einsum("bhnd,bhmd->bhnm", gf, bmat, preferred_element_type=acc)
+    dbmat = jnp.einsum("bhnm,bhnd->bhmd", a1, gf, preferred_element_type=acc)
+
+    # B = Z @ W3
+    dz = jnp.einsum("bhmd,bhld->bhml", dbmat, w3, preferred_element_type=acc)
+    dw3 = jnp.einsum("bhlm,bhld->bhmd", z, dbmat, preferred_element_type=acc)
+
+    # Z = NSpinv(A2); A2 = softmax(S2)
+    (da2,) = pinv_vjp(dz)
+    ds2 = _softmax_vjp(a2, da2)
+
+    # W3 = A3 @ V; A3 = softmax(S3)
+    da3 = jnp.einsum("bhmd,bhnd->bhmn", dw3, vf, preferred_element_type=acc)
+    dv = jnp.einsum("bhmn,bhmd->bhnd", a3, dw3, preferred_element_type=acc)
+    ds3 = _softmax_vjp(a3, da3)
+
+    # A1 = softmax(S1), S1 = Qs Klm^T
+    ds1 = _softmax_vjp(a1, da1)
+
+    # gradient flows into Qs (direct + via Qlm), K (direct + via Klm)
+    dqs = jnp.einsum("bhnm,bhmd->bhnd", ds1, k_lm, preferred_element_type=acc)
+    dq_lm = (
+        jnp.einsum("bhml,bhld->bhmd", ds2, k_lm, preferred_element_type=acc)
+        + jnp.einsum("bhmn,bhnd->bhmd", ds3, kf, preferred_element_type=acc)
+    )
+    dk_lm = (
+        jnp.einsum("bhml,bhmd->bhld", ds2, q_lm, preferred_element_type=acc)
+        + jnp.einsum("bhnm,bhnd->bhmd", ds1, qs, preferred_element_type=acc)
+    )
+    dk = jnp.einsum("bhmn,bhmd->bhnd", ds3, q_lm, preferred_element_type=acc)
+
+    # segment-mean backward: each landmark grad spreads 1/seg over its segment
+    dqs = dqs + _expand_segments(dq_lm, n) / seg
+    dk = dk + _expand_segments(dk_lm, n) / seg
+    dq = dqs * scale
+    return dq, dk, dv
+
+
 def _packed_reference(qkv, num_landmarks, pinv_iterations):
-    """XLA reference with packed I/O layout (used for the packed backward)."""
+    """XLA reference with packed I/O layout (golden tests only)."""
     q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))
     out = nystrom_attention(
         q, k, v, num_landmarks=num_landmarks, pinv_iterations=pinv_iterations
@@ -409,9 +501,24 @@ def _packed_fwd(qkv, num_landmarks, pinv_iterations, block_n, scale):
 
 
 def _packed_bwd(num_landmarks, pinv_iterations, block_n, scale, qkv, g):
-    del block_n, scale  # backward recomputes through the XLA reference
-    _, vjp = jax.vjp(lambda p: _packed_reference(p, num_landmarks, pinv_iterations), qkv)
-    return vjp(g)
+    """Analytic backward (no XLA-reference forward recompute): unpack planes,
+    run :func:`nystrom_attention_bwd`, repack into the (b, n, 3, h, d) layout."""
+    del block_n
+    b, n, _, h, d = qkv.shape
+    q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))
+    if scale is not None:
+        # forward scaled q by `scale` instead of d**-0.5: fold the ratio in
+        q = q * (scale / (d ** -0.5))
+    dq, dk, dv = nystrom_attention_bwd(
+        q, k, v, jnp.moveaxis(g, 2, 1),
+        num_landmarks=num_landmarks, pinv_iterations=pinv_iterations,
+    )
+    if scale is not None:
+        dq = dq * (scale / (d ** -0.5))
+    dqkv = jnp.stack(
+        [jnp.moveaxis(dq, 1, 2), jnp.moveaxis(dk, 1, 2), jnp.moveaxis(dv, 1, 2)], axis=2
+    )
+    return (dqkv.astype(qkv.dtype),)
 
 
 nystrom_attention_fused_packed.defvjp(_packed_fwd, _packed_bwd)

@@ -79,6 +79,33 @@ def jaccard_loss(logits: jax.Array, targets: jax.Array, eps: float = 1e-6) -> ja
     return 1.0 - (inter + eps) / (union + eps)
 
 
+def lovasz_softmax(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Lovasz-softmax (Berman 2018), flat multi-class variant - the reference
+    factory registers 'lovasz' from its segmentation zoo
+    (``MyLoss/loss_factory.py:21-62``, ``lovasz.py``). Per class c: errors
+    ``|1{y=c} - p_c|`` sorted descending, weighted by the Lovasz extension
+    gradient of the IoU, averaged over present classes. Static shapes (sort,
+    cumsum) keep it XLA-friendly."""
+    p = jax.nn.softmax(logits, axis=-1).reshape(-1, logits.shape[-1])
+    fg = targets.reshape(-1, logits.shape[-1]).astype(jnp.float32)  # one-hot
+    n, c = p.shape
+
+    def class_loss(errors: jax.Array, fg_c: jax.Array) -> jax.Array:
+        order = jnp.argsort(-errors)
+        err_sorted = errors[order]
+        fg_sorted = fg_c[order]
+        gts = jnp.sum(fg_c)
+        inter = gts - jnp.cumsum(fg_sorted)
+        union = gts + jnp.cumsum(1.0 - fg_sorted)
+        jaccard = 1.0 - inter / jnp.maximum(union, 1e-12)
+        grad = jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+        return jnp.dot(err_sorted, grad)
+
+    losses = jax.vmap(class_loss, in_axes=(1, 1))(jnp.abs(fg - p), fg)  # (C,)
+    present = (jnp.sum(fg, axis=0) > 0).astype(jnp.float32)
+    return jnp.sum(losses * present) / jnp.maximum(jnp.sum(present), 1.0)
+
+
 _LOSSES: dict[str, Callable[..., LossFn] | LossFn] = {
     "CrossEntropyLoss": cross_entropy,
     "BCEWithLogitsLoss": bce_with_logits,
@@ -87,6 +114,7 @@ _LOSSES: dict[str, Callable[..., LossFn] | LossFn] = {
     "polyloss": poly_loss,
     "dice": dice_loss,
     "jaccard": jaccard_loss,
+    "lovasz": lovasz_softmax,
 }
 
 

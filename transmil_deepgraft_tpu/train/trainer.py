@@ -67,6 +67,10 @@ class TrainerConfig:
     use_tensorboard: bool = False
     tile_level: bool = False  # classic per-tile pipeline: tile->slide->patient agg
     eval_batch_size: int = 1  # >1 batches same-bucket eval bags (fewer dispatches)
+    # test-stage per-slide top-k attention tile CSVs (the reference's
+    # custom_test_module CAM/top-k export, test_visualize.py:38-120); applies
+    # to attention-bearing heads (TransMIL family) when save_results is on
+    export_topk_tiles: bool = True
 
 
 def mutable_lr_scale() -> optax.GradientTransformation:
@@ -250,12 +254,20 @@ class Trainer:
             )
         return jax.jit(step, donate_argnums=donate)
 
-    def _eval_fn(self, bag_shape: tuple) -> Callable:
-        key = bag_shape
+    def _eval_fn(self, bag_shape: tuple, with_attn: bool = False) -> Callable:
+        key = (bag_shape, with_attn)
         if key not in self._eval_fns:
-            def eval_step(params, bags):
-                logits, _ = self._forward_logits(params, bags, None, deterministic=True)
-                return jax.nn.softmax(logits, axis=-1), logits
+            if with_attn:
+                def eval_step(params, bags):
+                    logits, attn = self.model.apply(
+                        {"params": params}, bags, deterministic=True, return_attn=True
+                    )
+                    rows = attn.tile_scores().mean(axis=1)  # (B, n_tokens)
+                    return jax.nn.softmax(logits, axis=-1), logits, rows
+            else:
+                def eval_step(params, bags):
+                    logits, _ = self._forward_logits(params, bags, None, deterministic=True)
+                    return jax.nn.softmax(logits, axis=-1), logits, None
 
             self._eval_fns[key] = jax.jit(eval_step)
         return self._eval_fns[key]
@@ -413,15 +425,32 @@ class Trainer:
 
     # ------------------------------------------------------------------- eval
     def evaluate(self, mode: str, save_results: bool = False, stage_name: str | None = None) -> dict:
+        # test-stage attention top-k tile export (ref custom_test_module,
+        # test_visualize.py:38-120) for attention-bearing heads
+        with_attn = (
+            save_results
+            and self.cfg.export_topk_tiles
+            and hasattr(self.model, "attn_query")
+        )
         all_probs, all_logits, all_labels, names, patients = [], [], [], [], []
         for batch in self.dm.eval_batches(mode, batch_size=self.cfg.eval_batch_size):
-            fn = self._eval_fn(batch.bags.shape[1:])
-            probs, logits = fn(self.params, jnp.asarray(batch.bags))
+            fn = self._eval_fn(batch.bags.shape[1:], with_attn=with_attn)
+            probs, logits, attn_rows = fn(self.params, jnp.asarray(batch.bags))
             all_probs.append(np.asarray(probs))
             all_logits.append(np.asarray(logits))
             all_labels.append(batch.labels)
             names += batch.names
             patients += batch.patients
+            if with_attn:
+                from transmil_deepgraft_tpu.visualize.heatmap import export_topk_tiles
+
+                rows = np.asarray(attn_rows)
+                for j, slide_name in enumerate(batch.names):
+                    n = int(batch.lengths[j])
+                    export_topk_tiles(
+                        rows[j][:n], batch.coords[j], slide_name,
+                        self.log_dir / "topk_tiles" / f"{slide_name}_topk_tiles.csv",
+                    )
             if self.cfg.fast_dev_run and len(names) >= 2:
                 break
 

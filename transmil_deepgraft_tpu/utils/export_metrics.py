@@ -83,15 +83,118 @@ def export_run(
     return summary
 
 
+def bootstrap_auroc_per_class(
+    probs: np.ndarray,
+    targets: np.ndarray,
+    n_classes: int,
+    n_boot: int = 1000,
+    seed: int = 0,
+    ci: float = 0.95,
+) -> list[dict]:
+    """Per-class one-vs-rest bootstrap CIs (ref export_metrics per-class rows)."""
+    from transmil_deepgraft_tpu.train.metrics import binary_auroc
+
+    rng = np.random.default_rng(seed)
+    probs = np.asarray(probs)
+    targets = np.asarray(targets)
+    n = len(targets)
+    out = []
+    for c in range(n_classes):
+        y = (targets == c).astype(np.int64)
+        scores = probs[:, c]
+        if y.min() == y.max():
+            out.append({"class": c, "auroc": 0.0, "ci_low": 0.0, "ci_high": 0.0})
+            continue
+        point = binary_auroc(scores, y)
+        samples = []
+        for _ in range(n_boot):
+            idx = rng.integers(0, n, n)
+            yy = y[idx]
+            if yy.min() == yy.max():
+                continue
+            samples.append(binary_auroc(scores[idx], yy))
+        arr = np.asarray(samples) if samples else np.array([point])
+        lo, hi = (1 - ci) / 2, 1 - (1 - ci) / 2
+        out.append({
+            "class": c, "auroc": point,
+            "ci_low": float(np.quantile(arr, lo)),
+            "ci_high": float(np.quantile(arr, hi)),
+        })
+    return out
+
+
+def plot_runs_comparison(
+    results: list[tuple[str, np.ndarray, np.ndarray, dict]],
+    n_classes: int,
+    out_stem: str | Path,
+) -> None:
+    """Multi-run comparison figures (ref plot_combined): overlaid patient-level
+    ROC curves (one per run, AUC + CI in the legend) and an AUROC bar chart
+    with CI whiskers."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from transmil_deepgraft_tpu.train.metrics import _roc_points
+    from transmil_deepgraft_tpu.utils.config import COLOR_MAP
+
+    out_stem = Path(out_stem)
+    out_stem.parent.mkdir(parents=True, exist_ok=True)
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    for i, (name, probs, targets, summary) in enumerate(results):
+        scores = probs[:, 1] if n_classes <= 2 else probs.max(-1)
+        y = targets if n_classes <= 2 else (probs.argmax(-1) == targets).astype(int)
+        fpr, tpr, _ = _roc_points(np.asarray(scores, np.float64), np.asarray(y))
+        ax.plot(
+            fpr, tpr, color=COLOR_MAP[i % len(COLOR_MAP)],
+            label=f"{name} AUC={summary['auroc']:.3f} "
+                  f"[{summary['ci_low']:.3f}, {summary['ci_high']:.3f}]",
+        )
+    ax.plot([0, 1], [0, 1], "k--", lw=0.5)
+    ax.set_xlabel("1 - specificity")
+    ax.set_ylabel("sensitivity")
+    ax.legend(fontsize=7)
+    fig.savefig(f"{out_stem}_roc_comparison.png", dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+    fig, ax = plt.subplots(figsize=(max(4, len(results)), 4))
+    names = [r[0] for r in results]
+    aucs = [r[3]["auroc"] for r in results]
+    err = np.array([
+        [r[3]["auroc"] - r[3]["ci_low"] for r in results],
+        [r[3]["ci_high"] - r[3]["auroc"] for r in results],
+    ])
+    ax.bar(range(len(results)), aucs, yerr=err, capsize=4,
+           color=[COLOR_MAP[i % len(COLOR_MAP)] for i in range(len(results))])
+    ax.set_xticks(range(len(results)))
+    ax.set_xticklabels(names, rotation=30, ha="right", fontsize=7)
+    ax.set_ylabel("patient AUROC (95% CI)")
+    ax.set_ylim(0, 1)
+    fig.savefig(f"{out_stem}_auroc_bars.png", dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
 def export_combined(run_dirs: list[str | Path], task: str, n_classes: int, out_csv: str | Path) -> None:
-    """Summary CSV across runs (ref plot_combined/get_csv)."""
+    """Summary CSV + multi-run comparison figures across runs
+    (ref plot_combined/get_csv, ``export_metrics.py:34-786``)."""
     import pandas as pd
 
     rows = []
+    results = []
     for d in run_dirs:
         try:
             s = export_run(d, task, n_classes)
-            rows.append({"run": str(d), **s})
+            probs, targets, _ = read_patient_results(
+                Path(d) / "TEST_RESULT_PATIENT.csv", task, n_classes
+            )
+            for pc in bootstrap_auroc_per_class(probs, targets, n_classes, n_boot=200):
+                rows.append({"run": str(d), **s, **{f"class_{pc['class']}_{k}": v
+                            for k, v in pc.items() if k != "class"}})
+            results.append((Path(d).name, probs, targets, s))
         except FileNotFoundError:
             continue
     pd.DataFrame(rows).to_csv(out_csv, index=False)
+    if results:
+        plot_runs_comparison(results, n_classes, Path(out_csv).with_suffix(""))

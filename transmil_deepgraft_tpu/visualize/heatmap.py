@@ -215,3 +215,63 @@ class Visualizer:
             "gradcam": cam_scores,
             "paths": [attn_path, cam_path],
         }
+
+
+class ImageVisualizer:
+    """Raw-tile slide driver (the reference's fused-model visualizations in
+    ``visualize_feature.py`` / ``visualize_classic.py``): tiles stream through
+    the frozen backbone in chunks (ref ``visualize_mil.py:560-583``), the MIL
+    head yields attention scores, and pixel-level GradCAM through the backbone
+    gives sub-tile saliency stitched into a slide heatmap."""
+
+    def __init__(
+        self, backbone, head, backbone_variables, head_variables,
+        out_dir: str | Path, target_class: int = 1, chunk: int = 64,
+        tile_size: int = 224,
+    ) -> None:
+        self.backbone = backbone
+        self.head = head
+        self.bv = backbone_variables
+        self.hv = head_variables
+        self.out_dir = Path(out_dir)
+        self.target_class = target_class
+        self.chunk = chunk
+        self.tile_size = tile_size
+        self._embed = jax.jit(lambda v, t: self.backbone.apply(v, t))
+        self._fwd_attn = jax.jit(
+            lambda v, x: self.head.apply(v, x, deterministic=True, return_attn=True)
+        )
+
+    def run_slide(self, tiles: np.ndarray, coords: np.ndarray, slide_name: str) -> dict:
+        from transmil_deepgraft_tpu.visualize.gradcam import (
+            assemble_pixel_heatmap,
+            pixel_gradcam_image_mil,
+        )
+
+        n = tiles.shape[0]
+        feats = []
+        for start in range(0, n, self.chunk):  # chunked embed, ref x10 split
+            feats.append(np.asarray(self._embed(self.bv, jnp.asarray(tiles[start:start + self.chunk]))))
+        feats = np.concatenate(feats)
+
+        logits, attn = self._fwd_attn(self.hv, jnp.asarray(feats[None]))
+        attn_scores = attention_tile_scores(attn)
+        attn_map = assemble_heatmap(coords, attn_scores)
+        attn_path = save_heatmap_jpeg(attn_map, self.out_dir / f"{slide_name}_mil_attn.jpg")
+
+        cams = pixel_gradcam_image_mil(
+            self.backbone, self.head, self.bv, jnp.asarray(tiles),
+            self.target_class, head_variables=self.hv,
+        )
+        pixel_map = assemble_pixel_heatmap(cams, coords, tile_size=self.tile_size)
+        pixel_path = save_heatmap_jpeg(pixel_map, self.out_dir / f"{slide_name}_pixel_gradcam.jpg")
+
+        export_topk_tiles(
+            attn_scores, coords, slide_name, self.out_dir / f"{slide_name}_topk_tiles.csv"
+        )
+        return {
+            "logits": np.asarray(logits),
+            "attention": attn_scores,
+            "pixel_cams": cams,
+            "paths": [attn_path, pixel_path],
+        }
