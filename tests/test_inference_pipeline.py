@@ -1,0 +1,71 @@
+"""Production inference pipeline (int8 backbone + head) and int8 extraction."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transmil_deepgraft_tpu.inference import SlideInferencePipeline
+from transmil_deepgraft_tpu.models import TransMIL
+from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+
+
+@pytest.fixture(scope="module")
+def resnet_vars():
+    model = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+    v = model.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 3)))
+    return model, jax.device_get(v)
+
+
+def test_pipeline_int8_vs_bf16(resnet_vars, rng):
+    _, variables = resnet_vars
+    tiles = rng.standard_normal((10, 64, 64, 3)).astype(np.float32)
+    head = TransMIL(n_classes=2, in_features=2048, out_features=32)
+    hv = head.init({"params": jax.random.key(1)}, jnp.zeros((1, 10, 2048)))
+
+    p_int8 = SlideInferencePipeline(
+        variables, head, hv, calib_tiles=tiles[:4], chunk=4
+    )
+    p_bf16 = SlideInferencePipeline(variables, head, hv, calib_tiles=None, chunk=4)
+
+    probs_q = p_int8.predict_slide(tiles)
+    probs_b = p_bf16.predict_slide(tiles)
+    assert probs_q.shape == probs_b.shape == (2,)
+    np.testing.assert_allclose(probs_q.sum(), 1.0, atol=1e-5)
+    # int8 and bf16 paths agree on the prediction
+    np.testing.assert_allclose(probs_q, probs_b, atol=0.05)
+
+    probs, scores = p_int8.predict_slide_with_attention(tiles)
+    assert scores.shape == (10,)
+    np.testing.assert_allclose(probs, probs_q, atol=1e-4)
+
+
+def test_extract_cohort_int8(tmp_path, rng):
+    from PIL import Image
+
+    from transmil_deepgraft_tpu.data.feature_extractor import extract_cohort
+    from transmil_deepgraft_tpu.data.jpg_bags import JPGMILDataset
+
+    blocks = tmp_path / "BLOCKS" / "slideA"
+    blocks.mkdir(parents=True)
+    for t in range(5):
+        arr = rng.integers(0, 255, (224, 224, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(blocks / f"tile_({t}-0).jpg")
+    (tmp_path / "labels.json").write_text(json.dumps({"test": [["slideA", 0]]}))
+
+    model = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+    variables = model.init({"params": jax.random.key(0)}, jnp.zeros((1, 224, 224, 3)))
+    ds = JPGMILDataset(tmp_path, tmp_path / "labels.json", "test", 2)
+
+    out_q = extract_cohort(model, variables, ds, tmp_path / "f_q", batch_size=5, quantize="int8")
+    out_f = extract_cohort(model, variables, ds, tmp_path / "f_f", batch_size=5)
+
+    import h5py
+
+    with h5py.File(out_q[0], "r") as fq, h5py.File(out_f[0], "r") as ff:
+        q, f = fq["features"][:], ff["features"][:]
+    assert q.shape == f.shape == (5, 2048)
+    cos = (q * f).sum(-1) / (np.linalg.norm(q, axis=-1) * np.linalg.norm(f, axis=-1))
+    assert cos.min() > 0.995, cos

@@ -27,6 +27,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=100)
     p.add_argument("--augment", type=int, default=0, help="N augmented copies per slide")
     p.add_argument("--bagstore", action="store_true", help="also pack a native bag store")
+    p.add_argument("--quantize", default=None, choices=[None, "int8"],
+                   help="int8: PTQ backbone path (ResNet50 family; 1.4x vs bf16)")
     return p
 
 
@@ -55,7 +57,7 @@ def main(argv: list[str] | None = None) -> list[str]:
     ds = JPGMILDataset(args.data_dir, args.label_file, args.mode, n_classes=2)
     written = extract_cohort(
         backbone, variables, ds, args.out_dir,
-        batch_size=args.batch_size, n_augment=args.augment,
+        batch_size=args.batch_size, n_augment=args.augment, quantize=args.quantize,
     )
     if args.bagstore:
         from transmil_deepgraft_tpu.data.bagstore import convert_h5_dir

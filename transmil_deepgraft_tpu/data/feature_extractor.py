@@ -61,17 +61,37 @@ def extract_cohort(
     batch_size: int = 100,
     n_augment: int = 0,
     seed: int = 0,
+    quantize: Optional[str] = None,  # 'int8' -> PTQ ResNet50 path (1.4x vs bf16)
 ) -> list[Path]:
     """Extract every slide of a cohort to ``<out_dir>/<slide>.h5`` (+ ``_aug{i}``
-    copies when ``n_augment`` > 0)."""
+    copies when ``n_augment`` > 0).
+
+    ``quantize='int8'`` runs the backbone through the post-training-quantized
+    path (``models/resnet_int8``; ResNet50 backbones only), calibrated on the
+    first batch of tiles - the production extraction speed path."""
     import h5py
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    # variables as an explicit arg (not a closure) so params stay jit inputs,
-    # not giant baked-in HLO constants
-    jit_embed = jax.jit(lambda v, x: backbone.apply(v, x, train=False))
-    embed_fn = lambda x: jit_embed(variables, x)
+    if quantize == "int8":
+        from transmil_deepgraft_tpu.models.resnet_int8 import (
+            apply_qresnet50,
+            build_qresnet50,
+        )
+
+        calib_paths = dataset.tiles_of(0)[: min(32, batch_size)]
+        calib = np.stack(
+            [imagenet_normalize(_load_tile(p, 224)) for p in calib_paths]
+        )
+        truncate = getattr(backbone, "truncate_after", 4)
+        q = build_qresnet50(jax.device_get(variables), calib, truncate_after=truncate)
+        jit_q = jax.jit(apply_qresnet50)
+        embed_fn = lambda x: jit_q(q, x)
+    else:
+        # variables as an explicit arg (not a closure) so params stay jit
+        # inputs, not giant baked-in HLO constants
+        jit_embed = jax.jit(lambda v, x: backbone.apply(v, x, train=False))
+        embed_fn = lambda x: jit_embed(variables, x)
 
     written: list[Path] = []
     for i in range(len(dataset)):

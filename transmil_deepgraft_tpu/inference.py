@@ -1,0 +1,106 @@
+"""Production slide-inference pipeline: int8 PTQ backbone + fused-kernel head.
+
+The serving-path composition of the round-2 performance work (the path
+``bench.py`` measures): raw tiles stream through the int8 post-training-
+quantized ResNet50 (``models/resnet_int8``, 1.4x over bf16) in fixed chunks,
+and the feature bag runs the TransMIL head whose TransLayers execute as fused
+Pallas kernels on TPU (``fused_inference=True``, 2.09x over the XLA layer).
+
+Mirrors the reference's fused inference model (``test_visualize.py``
+InferenceModel: backbone + mil head) with TPU-first execution.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SlideInferencePipeline:
+    """tiles (N, 224, 224, 3) -> slide probabilities (and attention scores).
+
+    Args:
+      backbone_variables: fp32 ResNet50 {'params','batch_stats'} (e.g. converted
+        from ``retccl_best_ckpt.pth``).
+      head_model: a bag-level flax head (TransMIL by default usage).
+      head_variables: its variables.
+      calib_tiles: representative tiles for int8 activation calibration;
+        pass None to run the backbone in bf16 instead of int8.
+      chunk: tile batch per backbone dispatch (one compiled program).
+    """
+
+    def __init__(
+        self,
+        backbone_variables: dict,
+        head_model,
+        head_variables: dict,
+        *,
+        calib_tiles: Optional[np.ndarray] = None,
+        truncate_after: int = 4,
+        chunk: int = 128,
+    ) -> None:
+        self.head = head_model
+        self.hv = head_variables
+        self.chunk = chunk
+
+        if calib_tiles is not None:
+            from transmil_deepgraft_tpu.models.resnet_int8 import (
+                apply_qresnet50,
+                build_qresnet50,
+            )
+
+            self._q = build_qresnet50(
+                backbone_variables, calib_tiles, truncate_after=truncate_after
+            )
+            self._embed = jax.jit(apply_qresnet50)
+            self._embed_args = (self._q,)
+        else:
+            from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+
+            model = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0,
+                           truncate_after=truncate_after)
+            bf16_vars = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                backbone_variables,
+            )
+            self._embed = jax.jit(
+                lambda v, t: model.apply(v, t.astype(jnp.bfloat16)).astype(jnp.float32)
+            )
+            self._embed_args = (bf16_vars,)
+
+        self._head_fwd = jax.jit(
+            lambda v, f: jax.nn.softmax(self.head.apply(v, f, deterministic=True), axis=-1)
+        )
+        self._head_attn = jax.jit(
+            lambda v, f: self.head.apply(v, f, deterministic=True, return_attn=True)
+        )
+
+    def embed(self, tiles: np.ndarray) -> np.ndarray:
+        """Chunked tile embedding -> (N, D) f32 features."""
+        n = tiles.shape[0]
+        feats = []
+        for start in range(0, n, self.chunk):
+            batch = tiles[start : start + self.chunk]
+            pad = self.chunk - batch.shape[0]
+            if pad:  # one compiled program for every chunk
+                batch = np.concatenate([batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)])
+            out = np.asarray(self._embed(*self._embed_args, jnp.asarray(batch)))
+            feats.append(out[: self.chunk - pad if pad else self.chunk])
+        return np.concatenate(feats)
+
+    def predict_slide(self, tiles: np.ndarray) -> np.ndarray:
+        """(N, H, W, 3) tiles -> (C,) slide class probabilities."""
+        feats = self.embed(tiles)
+        return np.asarray(self._head_fwd(self.hv, jnp.asarray(feats[None])))[0]
+
+    def predict_slide_with_attention(self, tiles: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (probs (C,), per-tile attention scores (N,))."""
+        feats = self.embed(tiles)
+        logits, attn = self._head_attn(self.hv, jnp.asarray(feats[None]))
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
+        scores = np.asarray(attn.tile_scores().mean(axis=1))[0]
+        return probs, scores
