@@ -30,6 +30,7 @@ def pixel_gradcam_image_mil(
     tiles: jax.Array,
     target_class: int,
     head_variables: dict | None = None,
+    method: str = "gradcam",
 ) -> np.ndarray:
     """Per-tile pixel-level CAM through backbone + MIL head.
 
@@ -55,12 +56,10 @@ def pixel_gradcam_image_mil(
             logits = logits[1] if logits[0].ndim > logits[1].ndim else logits[0]
         return logits.reshape(-1)[target_class]
 
+    from transmil_deepgraft_tpu.visualize.cam import compute_cam, normalize_cam
+
     grads = jax.grad(logit_of)(feature_map)  # (N, h, w, C)
-    weights = jnp.mean(grads, axis=(1, 2), keepdims=True)
-    cam = jax.nn.relu(jnp.sum(weights * feature_map, axis=-1))  # (N, h, w)
-    cam = np.asarray(cam)
-    lo, hi = cam.min(), cam.max()
-    return (cam - lo) / (hi - lo + 1e-12)
+    return normalize_cam(compute_cam(method, feature_map, grads))
 
 
 def classic_tile_gradcam(
@@ -69,11 +68,16 @@ def classic_tile_gradcam(
     tiles: jax.Array,
     target_class: int,
     classifier_apply: Callable[[jax.Array], jax.Array] | None = None,
+    method: str = "gradcam",
 ) -> np.ndarray:
     """Per-tile CAM for classic per-tile CNN classifiers
     (ref ``visualize_classic.py``): gradient of each tile's OWN logit w.r.t.
     its last conv map. ``classifier_apply`` maps pooled features -> logits;
-    identity-pool + argument default suits feature-mode backbones."""
+    identity-pool + argument default suits feature-mode backbones. ``method``
+    selects any algorithm from ``visualize.cam.CAM_METHODS`` (the reference's
+    pytorch_grad_cam import surface, ``visualize_classic.py:21``)."""
+    from transmil_deepgraft_tpu.visualize.cam import compute_cam
+
     feature_map = backbone.apply(variables, tiles, return_spatial=True)
 
     def score(maps: jax.Array) -> jax.Array:
@@ -82,9 +86,7 @@ def classic_tile_gradcam(
         return jnp.sum(logits[:, target_class])  # per-tile independent sum
 
     grads = jax.grad(score)(feature_map)
-    weights = jnp.mean(grads, axis=(1, 2), keepdims=True)
-    cam = jax.nn.relu(jnp.sum(weights * feature_map, axis=-1))
-    cam = np.asarray(cam)
+    cam = np.asarray(compute_cam(method, feature_map, grads))
     per_tile_max = cam.reshape(cam.shape[0], -1).max(-1, keepdims=True) + 1e-12
     return cam / per_tile_max.reshape(-1, 1, 1)
 
