@@ -71,6 +71,7 @@ class TrainerConfig:
     # custom_test_module CAM/top-k export, test_visualize.py:38-120); applies
     # to attention-bearing heads (TransMIL family) when save_results is on
     export_topk_tiles: bool = True
+    ckpt_backend: str = "msgpack"  # 'msgpack' (single-file) | 'orbax' (dir-per-ckpt)
 
 
 def mutable_lr_scale() -> optax.GradientTransformation:
@@ -153,7 +154,7 @@ class Trainer:
         self.log_dir = Path(config.log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self.logger = MetricLogger(self.log_dir, use_tensorboard=config.use_tensorboard)
-        self.ckpts = CheckpointManager(self.log_dir / "checkpoints")
+        self.ckpts = CheckpointManager(self.log_dir / "checkpoints", backend=config.ckpt_backend)
         # run-metadata snapshot (the reference copies a code snapshot into the
         # log dir per run, train.py:237-242; here: config + versions + git rev)
         try:
@@ -380,7 +381,7 @@ class Trainer:
 
         if self.cfg.swa and self._swa_params is not None:
             self.params = self._swa_params
-            save_pytree(self.ckpts.last_path(), {"params": self.params})
+            save_pytree(self.ckpts.last_path(), {"params": self.params}, backend=self.cfg.ckpt_backend)
         return history
 
     # --------------------------------------------------------- resume support

@@ -3,8 +3,16 @@
 Equivalent of the reference's three ModelCheckpoint callbacks + save_last
 (ref ``code/utils/utils.py:195-218``): retain top-3 by val_loss (min), top-1 by
 val_auc (max), top-3 by val_accuracy (max), plus ``last``. Checkpoints are
-orbax-saved pytrees of ``{params, opt_state?, epoch, metrics, hparams}``;
-filenames embed epoch and monitored metrics like the reference's.
+pytrees of ``{params, opt_state?, epoch, metrics, hparams}``; filenames embed
+epoch and monitored metrics like the reference's.
+
+Two storage backends:
+
+- ``msgpack`` (default): single-file flax serialization — fast, simple,
+  self-contained, right for the single-host training the reference does.
+- ``orbax``: directory-per-checkpoint via orbax-checkpoint — the JAX-ecosystem
+  standard; use for multi-host sharded train states or when other orbax tooling
+  must read the checkpoints.
 """
 
 from __future__ import annotations
@@ -20,15 +28,43 @@ import numpy as np
 from flax import serialization
 
 
-def save_pytree(path: str | Path, tree: Any) -> None:
+def save_pytree(path: str | Path, tree: Any, backend: str = "msgpack") -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     tree = jax.tree.map(np.asarray, jax.device_get(tree))
-    path.write_bytes(serialization.to_bytes(tree))
+    if backend == "msgpack":
+        path.write_bytes(serialization.to_bytes(tree))
+    elif backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        if path.exists():
+            shutil.rmtree(path) if path.is_dir() else path.unlink()
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+            ckptr.save(path.resolve(), tree)
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
 
 
-def load_pytree(path: str | Path, target: Any) -> Any:
-    return serialization.from_bytes(target, Path(path).read_bytes())
+def load_pytree(path: str | Path, target: Any, backend: str | None = None) -> Any:
+    """``backend=None`` autodetects: orbax checkpoints are directories."""
+    path = Path(path)
+    if backend is None:
+        backend = "orbax" if path.is_dir() else "msgpack"
+    if backend == "msgpack":
+        return serialization.from_bytes(target, path.read_bytes())
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+            restored = ckptr.restore(path.resolve())
+        flat, treedef = jax.tree.flatten(target)
+        rflat, _ = jax.tree.flatten(restored)
+        if len(flat) != len(rflat):
+            raise ValueError(
+                f"checkpoint/target structure mismatch: {len(rflat)} vs {len(flat)} leaves"
+            )
+        return jax.tree.unflatten(treedef, rflat)
+    raise ValueError(f"unknown checkpoint backend {backend!r}")
 
 
 @dataclass
@@ -70,10 +106,13 @@ class CheckpointManager:
         ("val_accuracy", "max", 3),
     )
 
-    def __init__(self, directory: str | Path, monitors=DEFAULT_MONITORS) -> None:
+    def __init__(
+        self, directory: str | Path, monitors=DEFAULT_MONITORS, backend: str = "msgpack"
+    ) -> None:
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.monitors = {name: Monitor(name, mode, k) for name, mode, k in monitors}
+        self.backend = backend
 
     def save_epoch(
         self, tree: Any, epoch: int, metrics: dict[str, float], last_tree: Any = None
@@ -83,7 +122,11 @@ class CheckpointManager:
         the trainer passes the full train state there while metric-keyed
         checkpoints stay weights-only (reference save_weights_only=True)."""
         saved = []
-        save_pytree(self.dir / "last.ckpt", last_tree if last_tree is not None else tree)
+        save_pytree(
+            self.dir / "last.ckpt",
+            last_tree if last_tree is not None else tree,
+            backend=self.backend,
+        )
         (self.dir / "last.json").write_text(json.dumps({"epoch": epoch, **metrics}))
         saved.append("last.ckpt")
 
@@ -108,12 +151,13 @@ class CheckpointManager:
                 evicted.append(evict)
 
         if wanted:
-            save_pytree(self.dir / filename, tree)
+            save_pytree(self.dir / filename, tree, backend=self.backend)
             saved.append(filename)
         for f in evicted:
             still_referenced = any(f == kf for mon in self.monitors.values() for _, kf in mon.kept)
-            if not still_referenced and (self.dir / f).exists():
-                (self.dir / f).unlink()
+            target = self.dir / f
+            if not still_referenced and target.exists():
+                shutil.rmtree(target) if target.is_dir() else target.unlink()
         return saved
 
     def best_path(self, monitor: str = "val_auc") -> Path | None:
