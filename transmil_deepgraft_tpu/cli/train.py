@@ -159,7 +159,37 @@ def build(cfg, log_dir: str | None = None):
         n_classes=n_classes, loss_fn=loss_fn, config=tcfg, mesh=mesh, model_name=model_name,
         needs_hessian="adahessian" in str(cfg.Optimizer.opt or "").lower(),
     )
+
+    # pretrained frozen-backbone weights for the in-graph image path (the
+    # reference loads RetCCL/hub checkpoints, model_interface.py:237-267).
+    # Accepts a torch .pth/.pt state dict (converted per backbone) or a
+    # flax-msgpack variables tree.
+    bb_ckpt = cfg.Model.backbone_weights
+    if bb_ckpt and dm.variant == "images" and backbone_name != "features":
+        trainer.set_backbone_variables(_load_backbone_variables(str(bb_ckpt), backbone_name))
     return trainer
+
+
+def _load_backbone_variables(path: str, backbone_name: str) -> dict:
+    if path.endswith((".pth", ".pt")):
+        from transmil_deepgraft_tpu.utils import torch_weights as tw
+
+        sd = tw.load_torch_checkpoint(path)
+        if backbone_name in ("retccl", "resnet50", "resnet18"):
+            return tw.convert_resnet_state_dict(sd)
+        if backbone_name == "efficientnet":
+            return tw.convert_efficientnet_state_dict(sd)
+        if backbone_name in ("vit", "dino"):
+            return tw.convert_vit_state_dict(sd)
+        if backbone_name == "inception":
+            return tw.convert_inception_state_dict(sd)
+        raise ValueError(f"no torch converter for backbone {backbone_name!r}")
+    import msgpack  # noqa: F401  (flax serialization dependency)
+    from flax import serialization
+
+    from pathlib import Path as _P
+
+    return serialization.msgpack_restore(_P(path).read_bytes())
 
 
 def main(argv: list[str] | None = None) -> dict:

@@ -24,6 +24,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", default=None)
     p.add_argument("--topk_csv", default=None, help="restrict to patients in this CSV")
     p.add_argument("--max_slides", type=int, default=0)
+    p.add_argument("--cam_method", default="gradcam",
+                   help="CAM algorithm for image pipelines (visualize.cam.CAM_METHODS; "
+                        "ref visualize_feature.py:21 pytorch_grad_cam surface)")
     return p
 
 
@@ -41,9 +44,27 @@ def main(argv: list[str] | None = None) -> list[dict]:
     trainer.load_checkpoint(args.ckpt)
 
     out_dir = Path(args.out_dir or (Path(trainer.cfg.log_dir) / "heatmaps"))
-    viz = Visualizer(
-        trainer.model, {"params": trainer.params}, out_dir, target_class=args.target_label
-    )
+    from transmil_deepgraft_tpu.models.backbones import ImageMILModel
+
+    if isinstance(trainer.model, ImageMILModel):
+        # raw-tile pipeline: pixel-level CAM through the backbone
+        # (ref visualize_feature.py / visualize_classic.py drivers)
+        from transmil_deepgraft_tpu.visualize.heatmap import ImageVisualizer
+
+        params = trainer.params
+        bs = trainer.model_state.get("batch_stats", {}).get("backbone")
+        bv = {"params": params["backbone"]}
+        if bs is not None:
+            bv["batch_stats"] = bs
+        viz = ImageVisualizer(
+            trainer.model.backbone, trainer.model.head, bv,
+            {"params": params["head"]}, out_dir,
+            target_class=args.target_label, cam_method=args.cam_method,
+        )
+    else:
+        viz = Visualizer(
+            trainer.model, {"params": trainer.params}, out_dir, target_class=args.target_label
+        )
 
     keep_patients = None
     if args.topk_csv:

@@ -181,6 +181,8 @@ class Trainer:
         )
 
         self.params = None
+        self.model_state: dict = {}  # non-params collections (e.g. frozen BN batch_stats)
+        self._pending_backbone: Optional[dict] = None
         self.opt_state = None
         self._resume_fit_state: Optional[dict] = None
         self._train_step = None
@@ -198,15 +200,45 @@ class Trainer:
         x = jnp.asarray(example_batch.bags[:1])
         variables = self.model.init(rngs, x)
         self.params = variables["params"]
+        # in-graph backbones carry frozen BN running stats in 'batch_stats'
+        # (ref ResNet.py eval-mode BN); keep every non-params collection and
+        # thread it through apply as a jit ARGUMENT (baking it as closure
+        # constants blows the remote-compile body limit - see verify skill)
+        self.model_state = {k: v for k, v in variables.items() if k != "params"}
+        self._apply_pending_backbone()
         self.opt_state = self.tx.init(self.params)
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             self.params = jax.device_put(self.params, repl)
+            self.model_state = jax.device_put(self.model_state, repl)
             self.opt_state = jax.device_put(self.opt_state, repl)
 
-    def _forward_logits(self, params, bags, rngs, deterministic):
+    def set_backbone_variables(self, variables: dict) -> None:
+        """Inject pretrained frozen-backbone weights (converted via
+        ``utils/torch_weights``) into an ``ImageMILModel`` graph - the
+        reference loads RetCCL/hub weights into its in-graph backbone
+        (``model_interface.py:237-267``). Applied immediately if params exist,
+        else at ``init_params``."""
+        self._pending_backbone = variables
+        if self.params is not None:
+            self._apply_pending_backbone()
+
+    def _apply_pending_backbone(self) -> None:
+        v = self._pending_backbone
+        if not v:
+            return
+        if "backbone" not in self.params:
+            raise ValueError("model has no in-graph 'backbone' submodule")
+        self.params = {**self.params, "backbone": v["params"]}
+        if "batch_stats" in v:
+            bs = dict(self.model_state.get("batch_stats", {}))
+            bs["backbone"] = v["batch_stats"]
+            self.model_state = {**self.model_state, "batch_stats": bs}
+        self._pending_backbone = None
+
+    def _forward_logits(self, params, model_state, bags, rngs, deterministic):
         out = self.model.apply(
-            {"params": params}, bags, deterministic=deterministic,
+            {"params": params, **model_state}, bags, deterministic=deterministic,
             rngs=rngs if not deterministic else None,
         )
         if self.is_dtfd:
@@ -219,12 +251,12 @@ class Trainer:
         n_classes = self.n_classes
         tx = self.tx
 
-        def step(params, opt_state, bags, labels, rng):
+        def step(params, model_state, opt_state, bags, labels, rng):
             drop_rng, shuffle_rng, hess_rng = jax.random.split(rng, 3)
             rngs = {"dropout": drop_rng, "shuffle": shuffle_rng}
 
             def loss_of(p):
-                logits, sub = self._forward_logits(p, bags, rngs, deterministic=False)
+                logits, sub = self._forward_logits(p, model_state, bags, rngs, deterministic=False)
                 one_hot = jax.nn.one_hot(labels, n_classes)
                 loss = loss_fn(logits, one_hot)
                 if sub is not None:  # DTFD tier-1 loss over pseudo-bag predictions
@@ -243,14 +275,14 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, jax.nn.softmax(logits, axis=-1)
 
-        donate = (0, 1)
+        donate = (0, 2)  # params, opt_state (model_state is read-only)
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             data = NamedSharding(self.mesh, P("dp"))
             return jax.jit(
                 step,
                 donate_argnums=donate,
-                in_shardings=(repl, repl, data, data, repl),
+                in_shardings=(repl, repl, repl, data, data, repl),
                 out_shardings=(repl, repl, repl, data),
             )
         return jax.jit(step, donate_argnums=donate)
@@ -259,15 +291,15 @@ class Trainer:
         key = (bag_shape, with_attn)
         if key not in self._eval_fns:
             if with_attn:
-                def eval_step(params, bags):
+                def eval_step(params, model_state, bags):
                     logits, attn = self.model.apply(
-                        {"params": params}, bags, deterministic=True, return_attn=True
+                        {"params": params, **model_state}, bags, deterministic=True, return_attn=True
                     )
                     rows = attn.tile_scores().mean(axis=1)  # (B, n_tokens)
                     return jax.nn.softmax(logits, axis=-1), logits, rows
             else:
-                def eval_step(params, bags):
-                    logits, _ = self._forward_logits(params, bags, None, deterministic=True)
+                def eval_step(params, model_state, bags):
+                    logits, _ = self._forward_logits(params, model_state, bags, None, deterministic=True)
                     return jax.nn.softmax(logits, axis=-1), logits, None
 
             self._eval_fns[key] = jax.jit(eval_step)
@@ -304,7 +336,7 @@ class Trainer:
             for batch in self.dm.train_batches(epoch):
                 rng, step_rng = jax.random.split(rng)
                 self.params, self.opt_state, loss, probs = self._train_step(
-                    self.params, self.opt_state,
+                    self.params, self.model_state, self.opt_state,
                     jnp.asarray(batch.bags), jnp.asarray(batch.labels), step_rng,
                 )
                 losses.append(loss)
@@ -370,7 +402,7 @@ class Trainer:
             # train state so --resume_training restores optimizer/epoch/
             # early-stop/plateau/lr-scale exactly
             self.ckpts.save_epoch(
-                {"params": self.params}, epoch,
+                {"params": self.params, "model_state": self.model_state}, epoch,
                 {k: metrics[k] for k in ("val_loss", "val_auc", "val_accuracy")},
                 last_tree=self._train_state_tree(
                     epoch + 1, best_val_loss, epochs_since_best, plateau_since_best
@@ -390,6 +422,7 @@ class Trainer:
     ) -> dict:
         return {
             "params": self.params,
+            "model_state": self.model_state,
             "opt_state": self.opt_state,
             "fit": {
                 "epoch": np.int64(epoch),
@@ -416,6 +449,8 @@ class Trainer:
             self.load_checkpoint(path)
             return False
         self.params = restored["params"]
+        if restored.get("model_state"):
+            self.model_state = restored["model_state"]
         self.opt_state = restored["opt_state"]
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
@@ -436,7 +471,7 @@ class Trainer:
         all_probs, all_logits, all_labels, names, patients = [], [], [], [], []
         for batch in self.dm.eval_batches(mode, batch_size=self.cfg.eval_batch_size):
             fn = self._eval_fn(batch.bags.shape[1:], with_attn=with_attn)
-            probs, logits, attn_rows = fn(self.params, jnp.asarray(batch.bags))
+            probs, logits, attn_rows = fn(self.params, self.model_state, jnp.asarray(batch.bags))
             all_probs.append(np.asarray(probs))
             all_logits.append(np.asarray(logits))
             all_labels.append(batch.labels)
@@ -622,9 +657,19 @@ class Trainer:
         data = Path(path).read_bytes()
         from flax import serialization
 
-        try:
-            restored = serialization.from_bytes({"params": self.params}, data)
-        except (ValueError, KeyError):
-            target = self._train_state_tree(0, 0.0, 0, 0)
-            restored = serialization.from_bytes(target, data)
+        restored = None
+        for target in (
+            {"params": self.params, "model_state": self.model_state},
+            {"params": self.params},  # legacy weights-only files
+            self._train_state_tree(0, 0.0, 0, 0),
+        ):
+            try:
+                restored = serialization.from_bytes(target, data)
+                break
+            except (ValueError, KeyError):
+                continue
+        if restored is None:
+            raise ValueError(f"unreadable checkpoint: {path}")
         self.params = restored["params"]
+        if restored.get("model_state"):
+            self.model_state = restored["model_state"]

@@ -227,7 +227,7 @@ class ImageVisualizer:
     def __init__(
         self, backbone, head, backbone_variables, head_variables,
         out_dir: str | Path, target_class: int = 1, chunk: int = 64,
-        tile_size: int = 224,
+        tile_size: int = 224, cam_method: str = "gradcam",
     ) -> None:
         self.backbone = backbone
         self.head = head
@@ -237,6 +237,7 @@ class ImageVisualizer:
         self.target_class = target_class
         self.chunk = chunk
         self.tile_size = tile_size
+        self.cam_method = cam_method  # any visualize.cam.CAM_METHODS algorithm
         self._embed = jax.jit(lambda v, t: self.backbone.apply(v, t))
         self._fwd_attn = jax.jit(
             lambda v, x: self.head.apply(v, x, deterministic=True, return_attn=True)
@@ -261,7 +262,7 @@ class ImageVisualizer:
 
         cams = pixel_gradcam_image_mil(
             self.backbone, self.head, self.bv, jnp.asarray(tiles),
-            self.target_class, head_variables=self.hv,
+            self.target_class, head_variables=self.hv, method=self.cam_method,
         )
         pixel_map = assemble_pixel_heatmap(cams, coords, tile_size=self.tile_size)
         pixel_path = save_heatmap_jpeg(pixel_map, self.out_dir / f"{slide_name}_pixel_gradcam.jpg")
