@@ -270,6 +270,96 @@ def build_qresnet50(
     )
 
 
+class QResNet50Fused(NamedTuple):
+    """``QResNet50`` plus the W-pair-packed stage1 weights the fused Pallas
+    path needs (packing is numpy work — done once here, outside jit)."""
+
+    q: QResNet50
+    stage1_packed: tuple  # tuple[QBlock, ...] from pack_wpair_block
+
+
+jax.tree_util.register_pytree_node(
+    QResNet50Fused,
+    lambda p: ((p.q, p.stage1_packed), None),
+    lambda _, c: QResNet50Fused(*c),
+)
+
+# ResNet50 block-index boundaries: layer1 = blocks[0:3] (all stride 1),
+# layer{2,3,4} = one stride-2 entry + stride-1 interiors.
+_STAGE_SLICES = ((0, 3), (3, 7), (7, 13), (13, 16))
+
+
+def prepare_qresnet50_fused(q: QResNet50) -> QResNet50Fused:
+    from transmil_deepgraft_tpu.ops.pallas.qstage_kernel import pack_wpair_block
+
+    if q.truncate_after != 4:
+        raise ValueError("fused path currently supports the full 4-stage net")
+    s1 = tuple(pack_wpair_block(b) for b in q.blocks[0:3])
+    return QResNet50Fused(q=q, stage1_packed=s1)
+
+
+def apply_qresnet50_fused(
+    prep: QResNet50Fused,
+    tiles: jax.Array,
+    *,
+    t_cfg: tuple = (1, 2, 4, 4, 4, 4, 4),
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused-Pallas int8 forward: identical folded-fma numerics to
+    ``apply_qresnet50`` (bit-exact, see tests/test_qstage_kernel.py) with the
+    per-stage HBM round-trips eliminated:
+
+    - stage1 runs W-pair-packed (free (56,56,64)->(56,28,128) reshape) so its
+      MXU-hostile C=64 matmuls become lane-aligned block-diagonal K,N>=128;
+    - each stage entry (stride-2 + downsample) reads its big input ONCE;
+    - each stride-1 interior run executes per-tile entirely in VMEM.
+
+    ``t_cfg`` = tiles-per-grid-step for (s1, e2, i2, e3, i3, e4, i4); each must
+    divide the batch. Ref semantics: ``/root/reference/code/models/ResNet.py:
+    119-399`` eval mode.
+    """
+    from transmil_deepgraft_tpu.ops.pallas.qstage_kernel import (
+        fused_bottleneck_stage,
+        fused_entry_block,
+        fused_stage_wpacked,
+    )
+
+    q = prep.q
+    t1, te2, ti2, te3, ti3, te4, ti4 = t_cfg
+    n, hh, ww, _ = tiles.shape
+    x_q = jnp.clip(
+        jnp.round(tiles.astype(jnp.float32) / q.input_scale), -127, 127
+    ).astype(jnp.int8)
+    x_q = x_q.reshape(n, hh // 2, 2, ww // 2, 2, 3)
+    x_q = x_q.transpose(0, 1, 3, 2, 4, 5).reshape(n, hh // 2, ww // 2, 12)
+    acc = jax.lax.conv_general_dilated(
+        x_q, q.stem_w, (1, 1), [(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    stem_q = _rq(acc, q.stem_m, q.stem_z)
+    out = jax.lax.reduce_window(
+        stem_q, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+    out = fused_stage_wpacked(
+        out, q.blocks[0:3], tiles_per_step=t1, interpret=interpret,
+        packed_blocks=prep.stage1_packed,
+    )
+    for (lo, hi), te, ti in (
+        (_STAGE_SLICES[1], te2, ti2),
+        (_STAGE_SLICES[2], te3, ti3),
+        (_STAGE_SLICES[3], te4, ti4),
+    ):
+        out = fused_entry_block(out, q.blocks[lo], tiles_per_step=te, interpret=interpret)
+        out = fused_bottleneck_stage(
+            out, q.blocks[lo + 1 : hi], tiles_per_step=ti, interpret=interpret
+        )
+    pooled = jnp.mean(out.astype(jnp.float32), axis=(1, 2)) + 128.0
+    return pooled * q.final_scale
+
+
 def _conv_q(x_q, w_q, stride=1, padding="SAME"):
     return jax.lax.conv_general_dilated(
         x_q, w_q, (stride, stride), padding,
