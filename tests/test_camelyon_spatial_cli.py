@@ -85,9 +85,13 @@ Loss:
     assert ckpt.exists()
 
     results = viz_main(
-        ["--config", str(cfg_path), "--ckpt", str(ckpt), "--log_dir", str(run_dir), "--max_slides", "2"]
+        ["--config", str(cfg_path), "--ckpt", str(ckpt), "--log_dir", str(run_dir),
+         "--max_slides", "2", "--track_energy"]
     )
     assert len(results) == 2
     index = json.loads((run_dir / "heatmaps" / "heatmap_index.json").read_text())
     assert all((run_dir / "heatmaps").glob("*.jpg"))
     assert len(index) == 2
+    # gradcam_sus.py parity: energy accounting around the heatmap loop
+    energy = json.loads((run_dir / "heatmaps" / "heatmap_energy.json").read_text())
+    assert energy["steps"] == 2 and energy["kwh"] > 0

@@ -24,6 +24,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", default=None)
     p.add_argument("--topk_csv", default=None, help="restrict to patients in this CSV")
     p.add_argument("--max_slides", type=int, default=0)
+    p.add_argument("--track_energy", action="store_true",
+                   help="wrap the heatmap loop in the kWh/CO2 tracker and write "
+                        "heatmap_energy.json (ref gradcam_sus.py ImpactTracker run)")
     p.add_argument("--cam_method", default="gradcam",
                    help="CAM algorithm for image pipelines (visualize.cam.CAM_METHODS; "
                         "ref visualize_feature.py:21 pytorch_grad_cam surface)")
@@ -75,6 +78,11 @@ def main(argv: list[str] | None = None) -> list[dict]:
     results = []
     ds = trainer.dm.dataset("test")
     rng = np.random.default_rng(0)
+    tracker = None
+    if args.track_energy:
+        from transmil_deepgraft_tpu.utils.sustainability import EnergyTracker
+
+        tracker = EnergyTracker().__enter__()
     for i in range(len(ds)):
         bag, label, (name, coords, patient) = trainer.dm._get(ds, i, rng)
         if keep_patients is not None and str(patient) not in keep_patients:
@@ -92,6 +100,12 @@ def main(argv: list[str] | None = None) -> list[dict]:
         if args.max_slides and len(results) >= args.max_slides:
             break
 
+    if tracker is not None:
+        tracker.step(len(results))
+        tracker.__exit__()
+        (out_dir / "heatmap_energy.json").write_text(
+            json.dumps(tracker.report().as_dict(), indent=2)
+        )
     (out_dir / "heatmap_index.json").write_text(json.dumps(results, indent=2))
     print(json.dumps({"slides": len(results), "out_dir": str(out_dir)}))
     return results
