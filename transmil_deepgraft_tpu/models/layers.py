@@ -132,14 +132,11 @@ class NystromAttentionLayer(nn.Module):
             )
             v_nwc = qkv[:, :, 2].reshape(b, np_, inner).astype(self.dtype)
             kern = jnp.repeat(res_kernel, self.dim_head, axis=1)[:, None, :]  # (ks, 1, h*d)
-            res = jax.lax.conv_general_dilated(
-                v_nwc,
-                kern.astype(self.dtype),
-                window_strides=(1,),
-                padding=((ks // 2, ks // 2),),
-                dimension_numbers=("NWC", "WIO", "NWC"),
-                feature_group_count=inner,
-            )
+            # GSPMD-safe depthwise (XLA grouped-conv weight-grad is wrong when
+            # batch is dp-sharded on a multi-axis mesh; ops/depthwise.py)
+            from transmil_deepgraft_tpu.ops.depthwise import depthwise_conv1d
+
+            res = depthwise_conv1d(v_nwc, kern.astype(self.dtype))
             out = out + res.astype(out.dtype)
 
         out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out.astype(self.dtype))
@@ -215,14 +212,11 @@ class PPEG(nn.Module):
         combined = combined + center
         bias = b7 + b5 + b3
 
-        out = jax.lax.conv_general_dilated(
-            grid,
-            combined.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=[(3, 3), (3, 3)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.dim,
-        ) + bias.astype(self.dtype)
+        # GSPMD-safe depthwise (see ops/depthwise.py: XLA's grouped-conv
+        # weight-grad miscompiles when batch is dp-sharded on a 2-axis mesh)
+        from transmil_deepgraft_tpu.ops.depthwise import depthwise_conv2d
+
+        out = depthwise_conv2d(grid, combined.astype(self.dtype)) + bias.astype(self.dtype)
         out = out.astype(x.dtype).reshape(b, h * w, c)
         return jnp.concatenate([cls_token, out], axis=1)
 

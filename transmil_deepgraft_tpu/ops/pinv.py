@@ -15,6 +15,19 @@ TransMIL forward (SURVEY.md section 7 "hard parts").
 Parity note: the initialization divides by the *global* max row-sum and max
 col-sum across every batch/head (a single scalar), matching the reference
 dependency's ``torch.max`` over the whole tensor.
+
+Gradient note (deliberate deviation): the init scale is wrapped in
+``stop_gradient``. For the row-stochastic ``A`` this op sees, every row-sum is
+exactly 1 up to f32 rounding, so the global max is a near-perfect TIE across
+all b*h*m rows — its subgradient routes the cotangent through whichever
+element happens to win the floating-point reduction, and *flips* under any
+reduction reorder (batch composition, data-parallel sharding). The reference's
+``torch.max`` autograds through the same degenerate tie and inherits that
+noise (its gradients change with DDP world size for the same global batch).
+The true derivative through a converged Newton-Schulz init is ~0, so stopping
+it is both closer to the exact pinv gradient and makes training grads
+batch-additive and sharding-invariant (tests/test_pinv_grad_stability.py).
+Forward values are bit-identical either way.
 """
 
 from __future__ import annotations
@@ -39,7 +52,9 @@ def newton_schulz_pinv(a: jax.Array, iters: int = 6) -> jax.Array:
     abs_a = jnp.abs(a32)
     max_row_sum = jnp.max(jnp.sum(abs_a, axis=-1))
     max_col_sum = jnp.max(jnp.sum(abs_a, axis=-2))
-    z = jnp.swapaxes(a32, -1, -2) / (max_row_sum * max_col_sum)
+    # init-scale gradient is an ill-defined tie-break (see module docstring)
+    denom = jax.lax.stop_gradient(max_row_sum * max_col_sum)
+    z = jnp.swapaxes(a32, -1, -2) / denom
 
     m = a.shape[-1]
     eye = jnp.eye(m, dtype=jnp.float32)

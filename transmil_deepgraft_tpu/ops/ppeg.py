@@ -15,16 +15,11 @@ import jax.numpy as jnp
 
 
 def depthwise_conv2d(x: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Depthwise 2D conv, NHWC input, kernel (kh, kw, C, 1), SAME padding."""
-    c = x.shape[-1]
-    return jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
+    """Depthwise 2D conv, NHWC input, kernel (kh, kw, 1, C), SAME padding.
+    Delegates to the GSPMD-safe custom-VJP op (ops/depthwise.py)."""
+    from transmil_deepgraft_tpu.ops.depthwise import depthwise_conv2d as _dw
+
+    return _dw(x, kernel)
 
 
 def ppeg_conv(
