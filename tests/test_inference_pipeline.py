@@ -42,6 +42,28 @@ def test_pipeline_int8_vs_bf16(resnet_vars, rng):
     np.testing.assert_allclose(probs, probs_q, atol=1e-4)
 
 
+def test_pipeline_fused_backbone_matches_int8(resnet_vars, rng):
+    """fused_backbone=True routes through the Pallas stage kernels (interpret
+    mode off-TPU) and is bit-exact vs the XLA int8 path."""
+    _, variables = resnet_vars
+    tiles = rng.standard_normal((6, 64, 64, 3)).astype(np.float32)
+    head = TransMIL(n_classes=2, in_features=2048, out_features=32)
+    hv = head.init({"params": jax.random.key(1)}, jnp.zeros((1, 6, 2048)))
+
+    p_int8 = SlideInferencePipeline(variables, head, hv, calib_tiles=tiles[:4], chunk=2)
+    p_fused = SlideInferencePipeline(
+        variables, head, hv, calib_tiles=tiles[:4], chunk=2,
+        fused_backbone=True, fused_t_cfg=(1, 1, 2, 1, 2, 1, 2),
+    )
+    np.testing.assert_array_equal(p_fused.embed(tiles), p_int8.embed(tiles))
+
+    with pytest.raises(ValueError):
+        SlideInferencePipeline(
+            variables, head, hv, calib_tiles=tiles[:4], chunk=3,
+            fused_backbone=True, fused_t_cfg=(1, 1, 2, 1, 2, 1, 2),
+        )
+
+
 def test_extract_cohort_int8(tmp_path, rng):
     from PIL import Image
 

@@ -73,7 +73,7 @@ def extract_cohort(
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    if quantize == "int8":
+    if quantize in ("int8", "int8_fused"):
         from transmil_deepgraft_tpu.models.resnet_int8 import (
             apply_qresnet50,
             build_qresnet50,
@@ -85,7 +85,20 @@ def extract_cohort(
         )
         truncate = getattr(backbone, "truncate_after", 4)
         q = build_qresnet50(jax.device_get(variables), calib, truncate_after=truncate)
-        jit_q = jax.jit(apply_qresnet50)
+        if quantize == "int8_fused":
+            from functools import partial
+
+            from transmil_deepgraft_tpu.models.resnet_int8 import (
+                apply_qresnet50_fused,
+                prepare_qresnet50_fused,
+            )
+
+            if truncate != 4:
+                raise ValueError("int8_fused supports the full 4-stage net only")
+            q = prepare_qresnet50_fused(q)
+            jit_q = jax.jit(partial(apply_qresnet50_fused, t_cfg=(1, 1, 2, 1, 2, 1, 2)))
+        else:
+            jit_q = jax.jit(apply_qresnet50)
         embed_fn = lambda x: jit_q(q, x)
     else:
         # variables as an explicit arg (not a closure) so params stay jit

@@ -41,6 +41,8 @@ class SlideInferencePipeline:
         calib_tiles: Optional[np.ndarray] = None,
         truncate_after: int = 4,
         chunk: int = 128,
+        fused_backbone: bool = False,
+        fused_t_cfg: tuple = (1, 2, 4, 4, 4, 4, 4),
     ) -> None:
         self.head = head_model
         self.hv = head_variables
@@ -55,7 +57,26 @@ class SlideInferencePipeline:
             self._q = build_qresnet50(
                 backbone_variables, calib_tiles, truncate_after=truncate_after
             )
-            self._embed = jax.jit(apply_qresnet50)
+            if fused_backbone:
+                # fully-fused Pallas stage kernels (ops/pallas/qstage_kernel):
+                # bit-exact vs apply_qresnet50; every t in fused_t_cfg must
+                # divide `chunk` (embed() pads each batch to chunk)
+                from functools import partial
+
+                from transmil_deepgraft_tpu.models.resnet_int8 import (
+                    apply_qresnet50_fused,
+                    prepare_qresnet50_fused,
+                )
+
+                for t in fused_t_cfg:
+                    if chunk % t:
+                        raise ValueError(f"t={t} does not divide chunk={chunk}")
+                self._q = prepare_qresnet50_fused(self._q)
+                self._embed = jax.jit(
+                    partial(apply_qresnet50_fused, t_cfg=fused_t_cfg)
+                )
+            else:
+                self._embed = jax.jit(apply_qresnet50)
             self._embed_args = (self._q,)
         else:
             from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
