@@ -1,0 +1,120 @@
+"""Production slide-inference CLI: ``python -m transmil_deepgraft_tpu.cli.infer``.
+
+Raw-tile serving path (the reference's ``test_visualize.py`` InferenceModel
+flow, backbone + MIL head fused end to end): a directory of slide tile folders
+streams through the int8 (or bf16) backbone + TransMIL head of
+``inference.SlideInferencePipeline`` and writes per-slide probabilities plus
+top-k attention tiles.
+
+Checkpoints load either as flax msgpack variable trees or as torch ``.pth``
+state dicts (converted via ``utils/torch_weights``)."""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="slide inference (tiles -> probabilities)")
+    p.add_argument("--tiles_root", required=True,
+                   help="root holding <slide>/<tile_(x-y)>.jpg folders")
+    p.add_argument("--backbone_ckpt", required=True,
+                   help="ResNet50/RetCCL weights: flax msgpack or torch .pth")
+    p.add_argument("--head_ckpt", required=True,
+                   help="TransMIL head weights: flax msgpack or torch .pth")
+    p.add_argument("--n_classes", type=int, default=2)
+    p.add_argument("--in_features", type=int, default=2048)
+    p.add_argument("--out_features", type=int, default=512)
+    p.add_argument("--quantize", choices=["bf16", "int8", "int8_fused"], default="int8")
+    p.add_argument("--chunk", type=int, default=128)
+    p.add_argument("--tile_size", type=int, default=224)
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--out_dir", default="inference_out")
+    return p
+
+
+def _load_variables(path: str, kind: str, n_classes: int, in_features: int) -> dict:
+    if path.endswith((".pth", ".pt")):
+        from transmil_deepgraft_tpu.utils import torch_weights as tw
+
+        sd = tw.load_torch_checkpoint(path)
+        if kind == "backbone":
+            return tw.convert_resnet_state_dict(sd)
+        return {"params": tw.convert_transmil_state_dict(sd, in_features=in_features)}
+    from flax import serialization
+
+    return serialization.msgpack_restore(Path(path).read_bytes())
+
+
+def main(argv: list[str] | None = None) -> list[dict]:
+    from transmil_deepgraft_tpu.data.feature_extractor import (
+        _load_tile,
+        imagenet_normalize,
+    )
+    from transmil_deepgraft_tpu.data.jpg_bags import parse_coords
+    from transmil_deepgraft_tpu.inference import SlideInferencePipeline
+    from transmil_deepgraft_tpu.models import create_model
+    from transmil_deepgraft_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    args = make_parser().parse_args(argv)
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    bb_vars = _load_variables(args.backbone_ckpt, "backbone", args.n_classes, args.in_features)
+    head = create_model("TransMIL", n_classes=args.n_classes, in_features=args.in_features,
+                        out_features=args.out_features)
+    head_vars = _load_variables(args.head_ckpt, "head", args.n_classes, args.in_features)
+
+    root = Path(args.tiles_root)
+    slides = sorted(d for d in root.iterdir() if d.is_dir())
+    if not slides:
+        raise SystemExit(f"no slide folders under {root}")
+
+    pipeline = None
+    results = []
+    for slide_dir in slides:
+        tile_paths = sorted(slide_dir.glob("*.jpg")) + sorted(slide_dir.glob("*.png"))
+        if not tile_paths:
+            continue
+        tiles = np.stack(
+            [imagenet_normalize(_load_tile(p, args.tile_size)) for p in tile_paths]
+        )
+        if pipeline is None:
+            calib = None if args.quantize == "bf16" else tiles[: min(32, len(tiles))]
+            pipeline = SlideInferencePipeline(
+                bb_vars, head, head_vars,
+                calib_tiles=calib, chunk=args.chunk,
+                fused_backbone=args.quantize == "int8_fused",
+            )
+        probs, attn = pipeline.predict_slide_with_attention(tiles)
+        order = np.argsort(attn)[::-1][: args.topk]
+        topk_csv = out_dir / f"{slide_dir.name}_topk_tiles.csv"
+        with open(topk_csv, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["tile", "x", "y", "attention"])
+            for i in order:
+                x, y = parse_coords(tile_paths[i].name)
+                w.writerow([tile_paths[i].name, x, y, float(attn[i])])
+        results.append(
+            {
+                "slide": slide_dir.name,
+                "n_tiles": len(tile_paths),
+                "probs": [float(p) for p in probs],
+                "pred": int(np.argmax(probs)),
+                "topk_csv": str(topk_csv),
+            }
+        )
+
+    (out_dir / "predictions.json").write_text(json.dumps(results, indent=2))
+    print(json.dumps({"slides": len(results), "out_dir": str(out_dir)}))
+    return results
+
+
+if __name__ == "__main__":
+    main()
