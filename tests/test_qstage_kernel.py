@@ -135,6 +135,16 @@ def test_full_fused_qresnet_bit_exact():
     )
     np.testing.assert_array_equal(np.asarray(jitted(prep, x)), ref)
 
+    # mixed composition: 0 entries route those segments through the XLA loop
+    mixed = np.asarray(
+        apply_qresnet50_fused(prep, x, t_cfg=(1, 0, 2, 0, 0, 1, 0), interpret=True)
+    )
+    np.testing.assert_array_equal(mixed, ref)
+    all_xla = np.asarray(
+        apply_qresnet50_fused(prep, x, t_cfg=(0,) * 7, interpret=True)
+    )
+    np.testing.assert_array_equal(all_xla, ref)
+
 
 def test_entry_block_requires_downsample():
     rng = np.random.default_rng(2)

@@ -315,14 +315,29 @@ def apply_qresnet50_fused(
     - each stride-1 interior run executes per-tile entirely in VMEM.
 
     ``t_cfg`` = tiles-per-grid-step for (s1, e2, i2, e3, i3, e4, i4); each must
-    divide the batch. Ref semantics: ``/root/reference/code/models/ResNet.py:
-    119-399`` eval mode.
+    divide the batch. A ``0`` entry routes THAT segment through the XLA block
+    loop instead (mixed composition — lets benchmarking pick fused kernels
+    only where they beat XLA). Ref semantics:
+    ``/root/reference/code/models/ResNet.py:119-399`` eval mode.
     """
     from transmil_deepgraft_tpu.ops.pallas.qstage_kernel import (
         fused_bottleneck_stage,
         fused_entry_block,
         fused_stage_wpacked,
     )
+
+    def xla_blocks(x, blocks, strides):
+        for blk, s in zip(blocks, strides):
+            h = _rq(_conv_q(x, blk.w1), blk.m1, blk.z1)
+            h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-128)
+            h = _rq(_conv_q(h, blk.w2, s, padding="VALID"), blk.m2, blk.z2)
+            acc3 = _conv_q(h, blk.w3).astype(jnp.float32) * blk.m3
+            if blk.wd is not None:
+                idn = _conv_q(x, blk.wd, s).astype(jnp.float32) * blk.md
+            else:
+                idn = x.astype(jnp.float32) * blk.id_mult
+            x = jnp.clip(jnp.round(acc3 + idn + blk.z3), -128, 127).astype(jnp.int8)
+        return x
 
     q = prep.q
     t1, te2, ti2, te3, ti3, te4, ti4 = t_cfg
@@ -343,19 +358,28 @@ def apply_qresnet50_fused(
         [(0, 0), (1, 1), (1, 1), (0, 0)],
     )
 
-    out = fused_stage_wpacked(
-        out, q.blocks[0:3], tiles_per_step=t1, interpret=interpret,
-        packed_blocks=prep.stage1_packed,
-    )
+    if t1:
+        out = fused_stage_wpacked(
+            out, q.blocks[0:3], tiles_per_step=t1, interpret=interpret,
+            packed_blocks=prep.stage1_packed,
+        )
+    else:
+        out = xla_blocks(out, q.blocks[0:3], [1, 1, 1])
     for (lo, hi), te, ti in (
         (_STAGE_SLICES[1], te2, ti2),
         (_STAGE_SLICES[2], te3, ti3),
         (_STAGE_SLICES[3], te4, ti4),
     ):
-        out = fused_entry_block(out, q.blocks[lo], tiles_per_step=te, interpret=interpret)
-        out = fused_bottleneck_stage(
-            out, q.blocks[lo + 1 : hi], tiles_per_step=ti, interpret=interpret
-        )
+        if te:
+            out = fused_entry_block(out, q.blocks[lo], tiles_per_step=te, interpret=interpret)
+        else:
+            out = xla_blocks(out, q.blocks[lo : lo + 1], [2])
+        if ti:
+            out = fused_bottleneck_stage(
+                out, q.blocks[lo + 1 : hi], tiles_per_step=ti, interpret=interpret
+            )
+        else:
+            out = xla_blocks(out, q.blocks[lo + 1 : hi], [1] * (hi - lo - 1))
     pooled = jnp.mean(out.astype(jnp.float32), axis=(1, 2)) + 128.0
     return pooled * q.final_scale
 
