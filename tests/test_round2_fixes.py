@@ -182,3 +182,39 @@ def test_kfold_val_batching_and_ensemble_exports(tmp_path):
     # ensemble result CSVs (written into the last fold trainer's log dir)
     assert list((tmp_path / "kf").glob("fold*/ENSEMBLE_RESULT_PATIENT.csv"))
     assert list((tmp_path / "kf").glob("fold*/ensemble_c0_top_patients.csv"))
+
+
+def test_autosave_steps_mid_epoch(tmp_path):
+    """autosave_steps writes a resumable FULL train state mid-epoch
+    (preemption safety the reference lacks: its saves are epoch-granular)."""
+    import jax
+
+    from transmil_deepgraft_tpu.data.datamodule import MILDataModule
+    from transmil_deepgraft_tpu.models import AttMIL
+    from transmil_deepgraft_tpu.train.losses import create_loss
+    from transmil_deepgraft_tpu.train.optimizers import create_optimizer
+    from transmil_deepgraft_tpu.train.trainer import Trainer, TrainerConfig
+
+    dm = MILDataModule(
+        n_classes=2, max_bag_size=16, batch_size=2,
+        synthetic={"n_train": 8, "n_val": 4, "n_test": 4, "bag_size": 16,
+                   "feature_size": 16, "signal": 2.0},
+        seed=0,
+    )
+    model = AttMIL(n_classes=2, in_features=16, out_features=8, attn_dim=4)
+    tx = create_optimizer(opt="adam", lr=1e-3, weight_decay=0.0)
+    cfg = TrainerConfig(epochs=1, log_dir=str(tmp_path), task="norm_rest",
+                        autosave_steps=2)
+    tr = Trainer(model, tx, dm, n_classes=2, loss_fn=create_loss(), config=cfg,
+                 model_name="AttMIL")
+    tr.fit()
+    assert tr.ckpts.last_path().exists()
+
+    # a fresh trainer restores the autosaved full state (params + opt_state)
+    tr2 = Trainer(model, tx, dm, n_classes=2, loss_fn=create_loss(), config=cfg,
+                  model_name="AttMIL")
+    assert tr2.load_train_state(tr.ckpts.last_path())
+    for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+        import numpy as np
+
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

