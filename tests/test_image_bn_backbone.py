@@ -72,6 +72,27 @@ def test_backbone_weight_injection_and_ckpt_roundtrip(tmp_path):
 
     got_mean = tr.model_state["batch_stats"]["backbone"]
     want_mean = bb_vars["batch_stats"]
+
+    # RAW (un-projected) converted weights nest into ProjectedBackbone's inner
+    # slot, keeping the trainable 'proj' head (the CLI's torch .pth path)
+    from transmil_deepgraft_tpu.models.resnet import resnet18 as _raw_r18
+
+    raw = _raw_r18().init({"params": jax.random.key(9)}, x)
+    proj_before = tr.params["backbone"]["proj"]
+    tr.set_backbone_variables(jax.device_get(raw))
+    assert "proj" in tr.params["backbone"]
+    np.testing.assert_array_equal(
+        np.asarray(tr.params["backbone"]["proj"]["kernel"]),
+        np.asarray(proj_before["kernel"]),
+    )
+    assert "backbone" in tr.model_state["batch_stats"]["backbone"]
+    # and the eval step still runs with the nested injection
+    b2 = _image_batch(rng)
+    fn2 = tr._eval_fn(b2.bags.shape[1:], with_attn=False)
+    probs2, _, _ = fn2(tr.params, tr.model_state, jnp.asarray(b2.bags))
+    assert np.isfinite(np.asarray(probs2)).all()
+
+    tr.set_backbone_variables(jax.device_get(bb_vars))  # restore for below
     chex_equal = jax.tree.all(
         jax.tree.map(lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)), got_mean, want_mean)
     )

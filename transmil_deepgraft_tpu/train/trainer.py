@@ -234,10 +234,20 @@ class Trainer:
             return
         if "backbone" not in self.params:
             raise ValueError("model has no in-graph 'backbone' submodule")
-        self.params = {**self.params, "backbone": v["params"]}
-        if "batch_stats" in v:
+        new_p = v["params"]
+        new_bs = v.get("batch_stats")
+        target = self.params["backbone"]
+        # ProjectedBackbone (resnet18/efficientnet paths) nests the conv stack
+        # under 'backbone' next to a trainable 'proj' head: converted raw
+        # weights go into that inner slot, keeping the fresh projection
+        if isinstance(target, dict) and "proj" in target and "proj" not in new_p:
+            new_p = {**target, "backbone": new_p}
+            if new_bs is not None:
+                new_bs = {"backbone": new_bs}
+        self.params = {**self.params, "backbone": new_p}
+        if new_bs is not None:
             bs = dict(self.model_state.get("batch_stats", {}))
-            bs["backbone"] = v["batch_stats"]
+            bs["backbone"] = new_bs
             self.model_state = {**self.model_state, "batch_stats": bs}
         self._pending_backbone = None
 
