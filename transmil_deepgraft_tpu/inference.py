@@ -69,7 +69,7 @@ class SlideInferencePipeline:
                 )
 
                 for t in fused_t_cfg:
-                    if chunk % t:
+                    if t and chunk % t:  # 0 = XLA for that segment (mixed)
                         raise ValueError(f"t={t} does not divide chunk={chunk}")
                 self._q = prepare_qresnet50_fused(self._q)
                 self._embed = jax.jit(
