@@ -93,3 +93,6 @@ def test_export_combined_figures(tmp_path, rng):
     assert {"auroc", "ci_low", "ci_high"} <= set(df.columns)
     assert (tmp_path / "combined_roc_comparison.png").exists()
     assert (tmp_path / "combined_auroc_bars.png").exists()
+    # ref plot_combined_cm / PR half of plot_combined
+    assert (tmp_path / "combined_confusions.png").exists()
+    assert (tmp_path / "combined_pr_comparison.png").exists()

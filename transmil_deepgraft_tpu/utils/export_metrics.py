@@ -176,6 +176,80 @@ def plot_runs_comparison(
     plt.close(fig)
 
 
+def plot_combined_confusions(
+    results: list[tuple[str, np.ndarray, np.ndarray, dict]],
+    n_classes: int,
+    out_path: str | Path,
+    task: str = "",
+) -> None:
+    """Grid of per-run confusion matrices in one figure (ref
+    ``export_metrics.py:576-675`` plot_combined_cm)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from transmil_deepgraft_tpu.train.metrics import confusion_matrix
+    from transmil_deepgraft_tpu.utils.plots import _class_names
+
+    names_c = _class_names(task, n_classes)
+    n = len(results)
+    cols = min(3, n)
+    rows_n = (n + cols - 1) // cols
+    fig, axes = plt.subplots(rows_n, cols, figsize=(3.2 * cols, 3.0 * rows_n),
+                             squeeze=False)
+    for idx, (name, probs, targets, _) in enumerate(results):
+        ax = axes[idx // cols][idx % cols]
+        preds = probs.argmax(-1)
+        cm = confusion_matrix(preds, targets, n_classes)
+        ax.imshow(cm, cmap="Blues")
+        for i in range(n_classes):
+            for j in range(n_classes):
+                ax.text(j, i, str(cm[i, j]), ha="center", va="center", fontsize=8)
+        ax.set_title(name, fontsize=8)
+        ax.set_xticks(range(n_classes))
+        ax.set_xticklabels(names_c, rotation=30, fontsize=6)
+        ax.set_yticks(range(n_classes))
+        ax.set_yticklabels(names_c, fontsize=6)
+    for idx in range(n, rows_n * cols):
+        axes[idx // cols][idx % cols].axis("off")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_pr_comparison(
+    results: list[tuple[str, np.ndarray, np.ndarray, dict]],
+    n_classes: int,
+    out_path: str | Path,
+) -> None:
+    """Overlaid patient-level precision-recall curves across runs (the PR half
+    of ref plot_combined)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from transmil_deepgraft_tpu.utils.config import COLOR_MAP
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    for i, (name, probs, targets, _) in enumerate(results):
+        scores = probs[:, 1] if n_classes <= 2 else probs.max(-1)
+        y = targets if n_classes <= 2 else (probs.argmax(-1) == targets).astype(int)
+        order = np.argsort(-np.asarray(scores, np.float64))
+        y_sorted = np.asarray(y)[order]
+        tp = np.cumsum(y_sorted)
+        precision = tp / np.arange(1, len(y_sorted) + 1)
+        recall = tp / max(1, y_sorted.sum())
+        ax.plot(recall, precision, color=COLOR_MAP[i % len(COLOR_MAP)], label=name)
+    ax.set_xlabel("recall")
+    ax.set_ylabel("precision")
+    ax.set_ylim(0, 1.05)
+    ax.legend(fontsize=7)
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
 def export_combined(run_dirs: list[str | Path], task: str, n_classes: int, out_csv: str | Path) -> None:
     """Summary CSV + multi-run comparison figures across runs
     (ref plot_combined/get_csv, ``export_metrics.py:34-786``)."""
@@ -197,4 +271,7 @@ def export_combined(run_dirs: list[str | Path], task: str, n_classes: int, out_c
             continue
     pd.DataFrame(rows).to_csv(out_csv, index=False)
     if results:
-        plot_runs_comparison(results, n_classes, Path(out_csv).with_suffix(""))
+        stem = Path(out_csv).with_suffix("")
+        plot_runs_comparison(results, n_classes, stem)
+        plot_combined_confusions(results, n_classes, f"{stem}_confusions.png", task)
+        plot_pr_comparison(results, n_classes, f"{stem}_pr_comparison.png")
