@@ -33,3 +33,31 @@ def test_dp8_matches_single_device(tmp_path):
     # same data/seed/optimizer: dp=8 sharded training must match single-device
     assert abs(h_mesh["loss"] - h_single["loss"]) < 1e-4, (h_mesh["loss"], h_single["loss"])
     assert abs(h_mesh["val_auc"] - h_single["val_auc"]) < 1e-6
+
+
+def test_transmil_dp4_sp2_matches_single_device(tmp_path):
+    """Flagship TransMIL trained on a REAL 2-axis mesh (dp=4 x sp=2) matches
+    single-device — guards the depthwise-conv GSPMD workaround
+    (ops/depthwise.py) and the pinv init-scale stop_gradient (ops/pinv.py):
+    before those fixes, PPEG gradients deviated at FULL scale on 2-axis
+    meshes."""
+    from transmil_deepgraft_tpu.models import TransMIL
+
+    def build(log_dir, mesh):
+        dm = MILDataModule(
+            n_classes=2, max_bag_size=32, batch_size=4,
+            synthetic={"n_train": 8, "n_val": 8, "n_test": 8, "bag_size": 32,
+                       "feature_size": 32, "signal": 2.0},
+            seed=0,
+        )
+        model = TransMIL(n_classes=2, in_features=32, out_features=32)
+        tx = create_optimizer(opt="adam", lr=1e-3, weight_decay=0.0)
+        cfg = TrainerConfig(epochs=1, log_dir=str(log_dir), task="norm_rest")
+        return Trainer(model, tx, dm, n_classes=2, loss_fn=create_loss(), config=cfg,
+                       mesh=mesh, model_name="TransMIL")
+
+    mesh = make_mesh(jax.devices(), dp=4, sp=2)
+    h_mesh = build(tmp_path / "mesh", mesh).fit()
+    h_single = build(tmp_path / "single", None).fit()
+    assert abs(h_mesh["loss"] - h_single["loss"]) < 5e-4, (h_mesh["loss"], h_single["loss"])
+    assert abs(h_mesh["val_loss"] - h_single["val_loss"]) < 5e-4
