@@ -96,3 +96,37 @@ def test_export_combined_figures(tmp_path, rng):
     # ref plot_combined_cm / PR half of plot_combined
     assert (tmp_path / "combined_confusions.png").exists()
     assert (tmp_path / "combined_pr_comparison.png").exists()
+
+
+def test_mixed_res_training_items(tmp_path, rng):
+    """ref feature_dataloader_mixed: extra resolution roots add each slide as
+    an additional TRAIN item (same label/patient); eval stays single-res."""
+    import h5py
+
+    from transmil_deepgraft_tpu.data.feature_bags import FeatureBagDataset
+
+    for root in ("res224", "res512"):
+        d = tmp_path / root
+        d.mkdir()
+        for slide in ("s0", "s1"):
+            with h5py.File(d / f"{slide}.h5", "w") as f:
+                f.create_dataset("features", data=rng.random((6, 8)).astype(np.float32))
+                f.create_dataset("coords", data=np.zeros((6, 2), np.int64))
+    import json as _json
+
+    (tmp_path / "labels.json").write_text(
+        _json.dumps({"train": [["s0", 0], ["s1", 1]], "val": [["s0", 0], ["s1", 1]]})
+    )
+
+    train = FeatureBagDataset(
+        tmp_path / "res224", tmp_path / "labels.json", "train", 2,
+        mixed_res_dirs=[tmp_path / "res512"],
+    )
+    assert len(train) == 4  # 2 slides x 2 resolutions
+    assert train.names.count("s0") == 2 and train.labels == [0, 0, 1, 1]
+
+    val = FeatureBagDataset(
+        tmp_path / "res224", tmp_path / "labels.json", "val", 2,
+        mixed_res_dirs=[tmp_path / "res512"],
+    )
+    assert len(val) == 2  # eval single-res

@@ -102,6 +102,7 @@ class MILDataModule:
         dataset_name: str = "custom",
         fold: int = 0,
         variant: str = "features",  # features | spatial | images | tiles
+        mixed_res_dirs: list | None = None,  # extra train-res roots (ref feature_dataloader_mixed)
         tile_size: int = 224,
         resample_val: bool = False,  # reference quirk: ImbalancedSampler on val
     ) -> None:
@@ -110,6 +111,7 @@ class MILDataModule:
         self.dataset_name = dataset_name
         self.fold = fold
         self.variant = variant
+        self.mixed_res_dirs = mixed_res_dirs
         self.data_dir = data_dir
         self.label_path = label_path
         self.n_classes = n_classes
@@ -205,6 +207,7 @@ class MILDataModule:
             max_bag_size=self.max_bag_size,
             mixup=self.mixup and mode in ("train", "fine_tune"),
             feature_extractor=self.feature_extractor,
+            mixed_res_dirs=self.mixed_res_dirs,
         )
 
     def dataset(self, mode: str):

@@ -87,6 +87,7 @@ class FeatureBagDataset:
         slides: list[str] | None = None,
         cache: bool = False,
         eval_draw_fraction: float = 0.1,
+        mixed_res_dirs: list[str | Path] | None = None,
     ) -> None:
         self.file_path = Path(file_path)
         self.mode = mode
@@ -139,6 +140,23 @@ class FeatureBagDataset:
             self.patients.append(
                 self.slide_patient[name] if self.slide_patient is not None else name
             )
+            # multi-resolution training variants (ref feature_dataloader_mixed
+            # FeatureBagLoader: each resolution root adds the slide as an EXTRA
+            # train item with the same label/patient; eval stays single-res)
+            if mixed_res_dirs and mode in ("train", "fine_tune"):
+                for extra_root in mixed_res_dirs:
+                    extra = Path(extra_root) / rel
+                    for cand in (extra, Path(str(extra) + ".h5"),
+                                 Path(str(extra) + ".pt"), Path(str(extra) + ".npy")):
+                        if Path(cand).exists() and Path(cand).is_file():
+                            self.files.append(Path(cand))
+                            self.labels.append(int(label))
+                            self.names.append(name)
+                            self.patients.append(
+                                self.slide_patient[name]
+                                if self.slide_patient is not None else name
+                            )
+                            break
 
     def __len__(self) -> int:
         return len(self.files)
