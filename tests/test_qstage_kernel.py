@@ -160,3 +160,26 @@ def test_tiles_divisibility_guard():
     x = jnp.asarray(rng.integers(-128, 128, (3, 8, 8, 16), dtype=np.int8))
     with pytest.raises(ValueError):
         fused_bottleneck_stage(x, [blk], tiles_per_step=2, interpret=True)
+
+
+def test_wpack1_xla_variant_bit_exact():
+    """apply_qresnet50_wpack1 (stage1 on the packed grid via XLA convs) ==
+    apply_qresnet50."""
+    from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+    from transmil_deepgraft_tpu.models.resnet_int8 import (
+        apply_qresnet50,
+        apply_qresnet50_wpack1,
+        build_qresnet50,
+        prepare_qresnet50_fused,
+    )
+
+    rng = np.random.default_rng(7)
+    model = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+    calib = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    v = jax.device_get(model.init({"params": jax.random.key(0)}, jnp.asarray(calib)))
+    q = build_qresnet50(v, calib)
+    prep = prepare_qresnet50_fused(q)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(apply_qresnet50_wpack1(prep, x)), np.asarray(apply_qresnet50(q, x))
+    )

@@ -398,6 +398,67 @@ def _rq(acc, m, z):
     return jnp.clip(jnp.round(acc.astype(jnp.float32) * m + z), -128, 127).astype(jnp.int8)
 
 
+def apply_qresnet50_wpack1(prep: QResNet50Fused, tiles: jax.Array) -> jax.Array:
+    """``apply_qresnet50`` with stage1 on the W-pair-packed grid (XLA convs,
+    lane-aligned shapes; see ``apply_stage_wpacked_xla``). Bit-exact."""
+    q = prep.q
+    n, hh, ww, _ = tiles.shape
+    x_q = jnp.clip(
+        jnp.round(tiles.astype(jnp.float32) / q.input_scale), -127, 127
+    ).astype(jnp.int8)
+    x_q = x_q.reshape(n, hh // 2, 2, ww // 2, 2, 3)
+    x_q = x_q.transpose(0, 1, 3, 2, 4, 5).reshape(n, hh // 2, ww // 2, 12)
+    acc = jax.lax.conv_general_dilated(
+        x_q, q.stem_w, (1, 1), [(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    stem_q = _rq(acc, q.stem_m, q.stem_z)
+    out = jax.lax.reduce_window(
+        stem_q, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    out = apply_stage_wpacked_xla(out, prep.stage1_packed)
+    plan = list(_block_plan(q.truncate_after))
+    for blk, (_, stride, has_ds) in zip(q.blocks[3:], plan[3:]):
+        h = _rq(_conv_q(out, blk.w1), blk.m1, blk.z1)
+        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-128)
+        h = _rq(_conv_q(h, blk.w2, stride, padding="VALID"), blk.m2, blk.z2)
+        acc3 = _conv_q(h, blk.w3).astype(jnp.float32) * blk.m3
+        if has_ds:
+            idn = _conv_q(out, blk.wd, stride).astype(jnp.float32) * blk.md
+        else:
+            idn = out.astype(jnp.float32) * blk.id_mult
+        out = jnp.clip(jnp.round(acc3 + idn + blk.z3), -128, 127).astype(jnp.int8)
+    pooled = jnp.mean(out.astype(jnp.float32), axis=(1, 2)) + 128.0
+    return pooled * q.final_scale
+
+
+def apply_stage_wpacked_xla(x_q: jax.Array, packed_blocks) -> jax.Array:
+    """Stride-1 stage on the W-pair-packed grid via XLA convs.
+
+    Same numerics as the per-block XLA loop (bit-exact; integer dots + the
+    identical folded f32 fma), but every matmul is lane-aligned: the free
+    (N, H, W, C) -> (N, H, W/2, 2C) reshape + parity-packed weights
+    (``ops/pallas/qstage_kernel.pack_wpair_block``) turn stage1's MXU-hostile
+    C=64 convs into K,N >= 128 shapes while keeping XLA's conv pipeline.
+    The packed 3x3 kernel runs as a DENSE (3,3,2C,2C) conv (the parity
+    structure lives inside the weights)."""
+    n, hh, ww, cin = x_q.shape
+    out = x_q.reshape(n, hh, ww // 2, 2 * cin)
+    for blk in packed_blocks:
+        h = _rq(_conv_q(out, blk.w1), blk.m1, blk.z1)
+        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-128)
+        h = _rq(_conv_q(h, blk.w2, 1, padding="VALID"), blk.m2, blk.z2)
+        acc3 = _conv_q(h, blk.w3).astype(jnp.float32) * blk.m3
+        if blk.wd is not None:
+            idn = _conv_q(out, blk.wd).astype(jnp.float32) * blk.md
+        else:
+            idn = out.astype(jnp.float32) * blk.id_mult
+        out = jnp.clip(jnp.round(acc3 + idn + blk.z3), -128, 127).astype(jnp.int8)
+    return out.reshape(n, hh, ww, out.shape[-1] // 2)
+
+
 def apply_qresnet50(q: QResNet50, tiles: jax.Array) -> jax.Array:
     """tiles (N, H, W, 3) f32/bf16 (H, W even) -> features (N, feature_dim) f32."""
     n, hh, ww, _ = tiles.shape
