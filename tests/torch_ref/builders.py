@@ -13,9 +13,11 @@ from transmil_deepgraft_tpu.models import TransMIL as FlaxTransMIL
 from transmil_deepgraft_tpu.models.attmil import AttMIL as FlaxAttMIL
 from transmil_deepgraft_tpu.models.clam import CLAM_MB as FlaxCLAM_MB
 from transmil_deepgraft_tpu.models.clam import CLAM_SB as FlaxCLAM_SB
+from transmil_deepgraft_tpu.models.chowder import Chowder as FlaxChowder
 from transmil_deepgraft_tpu.models.dtfd import DTFDMIL as FlaxDTFD
 from transmil_deepgraft_tpu.utils.torch_weights import (
     convert_attmil_state_dict,
+    convert_chowder_state_dict,
     convert_clam_state_dict,
     convert_dtfd_state_dict,
     convert_transmil_state_dict,
@@ -32,6 +34,7 @@ CONFIGS = {
     "clam_sb": (90, 1024, 2),
     "clam_mb": (90, 1024, 3),
     "dtfd": (480, 1024, 2),
+    "chowder": (120, 512, 2),
 }
 
 
@@ -59,6 +62,8 @@ def build_torch(name: str, seed: int = 0):
         model = T.CLAM_MB(n_classes=n_classes, subtyping=True)
     elif name == "dtfd":
         model = T.DTFDMIL(n_classes=n_classes, in_features=in_features)
+    elif name == "chowder":
+        model = T.Chowder(n_classes=n_classes, features=in_features)
     else:
         raise KeyError(name)
     return model.eval()
@@ -77,6 +82,8 @@ def build_flax(name: str):
         return FlaxCLAM_MB(n_classes=n_classes, subtyping=True)
     if name == "dtfd":
         return FlaxDTFD(n_classes=n_classes, in_features=in_features)
+    if name == "chowder":
+        return FlaxChowder(n_classes=n_classes, in_features=in_features)
     raise KeyError(name)
 
 
@@ -90,6 +97,8 @@ def convert(name: str, state_dict) -> dict:
         return convert_clam_state_dict(state_dict, n_classes=n_classes)
     if name == "dtfd":
         return convert_dtfd_state_dict(state_dict)
+    if name == "chowder":
+        return convert_chowder_state_dict(state_dict)
     raise KeyError(name)
 
 
@@ -115,6 +124,9 @@ def torch_forward(name: str, model, bag: np.ndarray) -> dict:
         if name == "dtfd":
             sub, slide = model(x, deterministic=True)
             return {"logits": slide.numpy(), "sub_logits": sub.numpy()}
+        if name == "chowder":
+            logits, _ = model(x[None])
+            return {"logits": logits.numpy()}
         return {"logits": model(x).numpy()}
 
 

@@ -463,3 +463,24 @@ class DTFDMIL(nn.Module):
         sub_predictions = torch.cat(sub_preds, dim=0)     # (G, C)
         slide_prediction = self.attCls(pooled)            # (1, C)
         return sub_predictions, slide_prediction
+
+
+class Chowder(nn.Module):
+    """Ref ``Chowder.py:19-50``: Conv1d instance scorer, top/bottom-R scores,
+    MLP 2R -> 200 -> 100 -> n_classes, cat order (min, max)."""
+
+    def __init__(self, n_classes: int, features: int = 512, r: int = 5):
+        super().__init__()
+        self.R = r
+        self.f1 = nn.Sequential(nn.Conv1d(features, 1, 1))
+        self.f2 = nn.Sequential(
+            nn.Linear(r * 2, 200), nn.Linear(200, 100), nn.Linear(100, n_classes)
+        )
+
+    def forward(self, x: torch.Tensor):
+        x = x.float().transpose(1, 2)          # (B, L, N)
+        x = self.f1(x)                          # (B, 1, N)
+        max_v = torch.topk(x, self.R).values
+        min_v = torch.topk(x, self.R, largest=False).values
+        cat = torch.cat((min_v, max_v), dim=2)  # (B, 1, 2R)
+        return self.f2(cat).squeeze(0), None

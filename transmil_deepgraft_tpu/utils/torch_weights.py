@@ -258,6 +258,21 @@ def convert_dtfd_state_dict(state_dict: Mapping[str, Any]) -> dict:
     return {"params": p}
 
 
+def convert_chowder_state_dict(state_dict: Mapping[str, Any]) -> dict:
+    """torch Chowder (ref ``Chowder.py:19-50``: Conv1d(L,1,1) scorer + 3-layer
+    MLP) -> flax params for :class:`transmil_deepgraft_tpu.models.chowder.Chowder`."""
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    return {"params": {
+        "f1": {
+            "kernel": _np(sd["f1.0.weight"])[:, :, 0].T,  # (1, L, 1) -> (L, 1)
+            "bias": _np(sd["f1.0.bias"]),
+        },
+        "f2_0": {"kernel": _np(sd["f2.0.weight"]).T, "bias": _np(sd["f2.0.bias"])},
+        "f2_1": {"kernel": _np(sd["f2.1.weight"]).T, "bias": _np(sd["f2.1.bias"])},
+        "f2_2": {"kernel": _np(sd["f2.2.weight"]).T, "bias": _np(sd["f2.2.bias"])},
+    }}
+
+
 def convert_efficientnet_state_dict(state_dict: Mapping[str, Any]) -> dict:
     """torchvision-layout EfficientNet-B0 state dict (``features.{i}.{b}.block.
     {j}...``) -> flax variables for
