@@ -87,7 +87,11 @@ def test_export_combined_figures(tmp_path, rng):
         }).to_csv(d / "TEST_RESULT_PATIENT.csv")
 
     out_csv = tmp_path / "combined.csv"
-    export_combined([tmp_path / "runA", tmp_path / "runB"], task="", n_classes=2, out_csv=out_csv)
+    # through the CLI driver (ref export_metrics.py make_parse surface)
+    from transmil_deepgraft_tpu.cli.export_metrics import main as export_main
+
+    export_main(["--runs", str(tmp_path / "runA"), str(tmp_path / "runB"),
+                 "--n_classes", "2", "--out_csv", str(out_csv)])
     df = pd.read_csv(out_csv)
     assert len(df) == 4  # 2 runs x 2 per-class rows
     assert {"auroc", "ci_low", "ci_high"} <= set(df.columns)
