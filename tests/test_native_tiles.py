@@ -1,0 +1,83 @@
+"""Native threaded JPEG tile loader (native/tileloader.cpp + ctypes binding)."""
+
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from transmil_deepgraft_tpu.data import native_tiles as nt
+from transmil_deepgraft_tpu.data.jpg_bags import _load_tile
+from transmil_deepgraft_tpu.data.transforms import imagenet_normalize
+
+pytestmark = pytest.mark.skipif(not nt.available(), reason="libjpeg/native build unavailable")
+
+
+def _write_jpegs(tmp_path, rng, n, size):
+    paths = []
+    for i in range(n):
+        arr = rng.integers(0, 255, (size, size, 3)).astype(np.uint8)
+        p = tmp_path / f"tile_({i}-0).jpg"
+        Image.fromarray(arr).save(p, quality=92)
+        paths.append(p)
+    return paths
+
+
+def test_exact_match_vs_pil_at_native_size(tmp_path, rng):
+    """Same libjpeg underneath + identity resize + same normalize: the native
+    batch must match the PIL path bit-for-bit at the stored tile size."""
+    paths = _write_jpegs(tmp_path, rng, 6, 64)
+    batch, n_ok = nt.load_tiles(paths, size=64)
+    assert n_ok == 6 and batch.shape == (6, 64, 64, 3)
+    ref = np.stack([imagenet_normalize(_load_tile(p, 64)) for p in paths])
+    np.testing.assert_allclose(batch, ref, atol=1e-6)
+
+
+def test_resize_path_close_to_pil(tmp_path, rng):
+    paths = _write_jpegs(tmp_path, rng, 3, 96)
+    batch, n_ok = nt.load_tiles(paths, size=64)
+    assert n_ok == 3
+    ref = np.stack([imagenet_normalize(_load_tile(p, 64)) for p in paths])
+    # different resamplers (bilinear vs PIL default); statistics must agree
+    assert abs(float(batch.mean()) - float(ref.mean())) < 0.05
+    assert abs(float(batch.std()) - float(ref.std())) < 0.2
+
+
+def test_failed_decode_counts_and_zeros(tmp_path, rng):
+    paths = _write_jpegs(tmp_path, rng, 2, 32)
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"not a jpeg")
+    batch, n_ok = nt.load_tiles([paths[0], bad, paths[1]], size=32)
+    assert n_ok == 2
+    assert np.all(batch[1] == 0.0)
+    assert not np.all(batch[0] == 0.0)
+
+
+def test_extraction_uses_native_path(tmp_path, rng):
+    """extract_slide_features(native) == PIL path for same-size jpegs."""
+    from transmil_deepgraft_tpu.data.feature_extractor import extract_slide_features
+
+    paths = _write_jpegs(tmp_path, rng, 5, 32)
+    embed = lambda x: np.asarray(x).mean(axis=(1, 2))  # fake backbone
+    f_native, c1 = extract_slide_features(
+        embed, paths, batch_size=3, tile_size=32, native_tiles=True
+    )
+    f_pil, c2 = extract_slide_features(
+        embed, paths, batch_size=3, tile_size=32, native_tiles=False
+    )
+    np.testing.assert_allclose(f_native, f_pil, atol=1e-5)
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_throughput_vs_pil(tmp_path, rng):
+    """Informational: the threaded loader should not be slower than PIL."""
+    paths = _write_jpegs(tmp_path, rng, 48, 224)
+    t0 = time.perf_counter()
+    nt.load_tiles(paths, size=224)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for p in paths:
+        imagenet_normalize(_load_tile(p, 224))
+    t_pil = time.perf_counter() - t0
+    # generous bound: parallel decode must at least keep up
+    assert t_native < t_pil * 1.5, (t_native, t_pil)

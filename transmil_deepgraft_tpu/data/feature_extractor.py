@@ -29,19 +29,39 @@ def extract_slide_features(
     batch_size: int = 100,
     tile_size: int = 224,
     augment_rng: Optional[np.random.Generator] = None,
+    native_tiles: Optional[bool] = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Embed all tiles of one slide; returns (features [N, D], coords [N, 2])."""
+    """Embed all tiles of one slide; returns (features [N, D], coords [N, 2]).
+
+    ``native_tiles`` (default: auto) decodes non-augmented jpeg batches through
+    the threaded C++ loader (``data/native_tiles``, the DALI-pipeline
+    equivalent); stain-augmented variants stay on the PIL+numpy path (the
+    augmentations operate on uint8 arrays)."""
+    from transmil_deepgraft_tpu.data import native_tiles as nt
+
+    use_native = (
+        augment_rng is None
+        and (native_tiles if native_tiles is not None else nt.available())
+        and all(str(p).lower().endswith((".jpg", ".jpeg")) for p in tile_paths)
+    )
     coords = np.array([parse_coords(p.name) for p in tile_paths], np.int32)
     feats: list[np.ndarray] = []
     for start in range(0, len(tile_paths), batch_size):
         chunk = tile_paths[start : start + batch_size]
-        imgs = []
-        for p in chunk:
-            img = _load_tile(p, tile_size)
-            if augment_rng is not None:
-                img = train_augment(img, augment_rng)
-            imgs.append(imagenet_normalize(img))
-        batch = np.stack(imgs)
+        if use_native:
+            batch, n_ok = nt.load_tiles(chunk, tile_size)
+            if n_ok != len(chunk):  # decode failure: fall back to PIL for this chunk
+                batch = np.stack(
+                    [imagenet_normalize(_load_tile(p, tile_size)) for p in chunk]
+                )
+        else:
+            imgs = []
+            for p in chunk:
+                img = _load_tile(p, tile_size)
+                if augment_rng is not None:
+                    img = train_augment(img, augment_rng)
+                imgs.append(imagenet_normalize(img))
+            batch = np.stack(imgs)
         n = batch.shape[0]
         if n < batch_size:  # pad so one program compiles for all batches
             batch = np.concatenate(

@@ -1,0 +1,98 @@
+"""Python bindings for the native threaded JPEG tile loader (ctypes).
+
+``load_tiles`` decodes a batch of jpeg tile paths with a C++ thread pool
+(libjpeg decompress + bilinear resize + ImageNet normalize) straight into one
+(N, size, size, 3) float32 buffer — the host-side answer to the reference's
+DALI jpeg pipeline (``code/datasets/dali_dataloader.py``) for the raw-image
+MIL path, replacing single-threaded PIL decode at extraction/serving time.
+
+The shared library auto-builds from ``native/tileloader.cpp`` on first use;
+``available()`` gates callers so environments without libjpeg fall back to PIL.
+
+Measured: per-core decode cost matches PIL (same libjpeg underneath; ~700
+224px tiles/s/core); the win is the THREADED fan-out on multi-core hosts —
+the dev VM has 1 vCPU, so in-repo tests only assert per-core parity.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_NATIVE_DIR = _REPO_ROOT / "native"
+_LIB_PATH = _NATIVE_DIR / "libtileloader.so"
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    try:
+        src = _NATIVE_DIR / "tileloader.cpp"
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src.stat().st_mtime:
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR), "libtileloader.so"],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.tl_load_batch.restype = ctypes.c_int
+        lib.tl_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib = lib
+    except Exception:
+        _lib_failed = True
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load_lib() is not None
+
+
+def load_tiles(
+    paths: Sequence[str | Path],
+    size: int = 224,
+    n_threads: int | None = None,
+    mean: np.ndarray = IMAGENET_MEAN,
+    std: np.ndarray = IMAGENET_STD,
+) -> tuple[np.ndarray, int]:
+    """Decode ``paths`` -> normalized (N, size, size, 3) float32.
+
+    Returns ``(batch, n_ok)``; failed decodes leave zero tiles (callers may
+    compare ``n_ok`` to ``len(paths)``).
+    """
+    lib = _load_lib()
+    if lib is None:
+        raise RuntimeError("native tile loader unavailable (libjpeg / build failed)")
+    n = len(paths)
+    out = np.zeros((n, size, size, 3), np.float32)
+    if n == 0:
+        return out, 0
+    c_paths = (ctypes.c_char_p * n)(
+        *[os.fspath(p).encode() for p in paths]
+    )
+    mean32 = np.ascontiguousarray(mean, np.float32)
+    std32 = np.ascontiguousarray(std, np.float32)
+    threads = n_threads or min(16, os.cpu_count() or 4)
+    n_ok = lib.tl_load_batch(
+        c_paths, n, size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads,
+        mean32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out, int(n_ok)
