@@ -82,9 +82,18 @@ def main(argv: list[str] | None = None) -> list[dict]:
         tile_paths = sorted(slide_dir.glob("*.jpg")) + sorted(slide_dir.glob("*.png"))
         if not tile_paths:
             continue
-        tiles = np.stack(
-            [imagenet_normalize(_load_tile(p, args.tile_size)) for p in tile_paths]
-        )
+        from transmil_deepgraft_tpu.data import native_tiles as nt
+
+        if nt.available() and all(str(p).lower().endswith((".jpg", ".jpeg")) for p in tile_paths):
+            tiles, n_ok = nt.load_tiles(tile_paths, args.tile_size)
+            if n_ok != len(tile_paths):
+                tiles = np.stack(
+                    [imagenet_normalize(_load_tile(p, args.tile_size)) for p in tile_paths]
+                )
+        else:
+            tiles = np.stack(
+                [imagenet_normalize(_load_tile(p, args.tile_size)) for p in tile_paths]
+            )
         if pipeline is None:
             calib = None if args.quantize == "bf16" else tiles[: min(32, len(tiles))]
             pipeline = SlideInferencePipeline(
