@@ -27,7 +27,7 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=100)
     p.add_argument("--augment", type=int, default=0, help="N augmented copies per slide")
     p.add_argument("--bagstore", action="store_true", help="also pack a native bag store")
-    p.add_argument("--quantize", default=None, choices=[None, "int8"],
+    p.add_argument("--quantize", default=None, choices=[None, "int8", "int8_fused"],
                    help="int8: PTQ backbone path (ResNet50 family; 1.4x vs bf16)")
     return p
 
