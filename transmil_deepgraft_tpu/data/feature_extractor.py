@@ -45,9 +45,8 @@ def extract_slide_features(
         and all(str(p).lower().endswith((".jpg", ".jpeg")) for p in tile_paths)
     )
     coords = np.array([parse_coords(p.name) for p in tile_paths], np.int32)
-    feats: list[np.ndarray] = []
-    for start in range(0, len(tile_paths), batch_size):
-        chunk = tile_paths[start : start + batch_size]
+
+    def decode(chunk):
         if use_native:
             batch, n_ok = nt.load_tiles(chunk, tile_size)
             if n_ok != len(chunk):  # decode failure: fall back to PIL for this chunk
@@ -67,8 +66,21 @@ def extract_slide_features(
             batch = np.concatenate(
                 [batch, np.zeros((batch_size - n, *batch.shape[1:]), np.float32)]
             )
-        out = np.asarray(embed_fn(jnp.asarray(batch)))[:n]
-        feats.append(out)
+        return batch, n
+
+    # double-buffered: jax dispatch is async, so decoding chunk i+1 on the
+    # host overlaps the device embedding of chunk i; only the final
+    # np.asarray fetch per chunk synchronizes
+    feats: list[np.ndarray] = []
+    pending: tuple = ()
+    for start in range(0, len(tile_paths), batch_size):
+        batch, n = decode(tile_paths[start : start + batch_size])
+        out_dev = embed_fn(jnp.asarray(batch))
+        if pending:
+            feats.append(np.asarray(pending[0])[: pending[1]])
+        pending = (out_dev, n)
+    if pending:
+        feats.append(np.asarray(pending[0])[: pending[1]])
     return np.concatenate(feats), coords
 
 
