@@ -101,16 +101,23 @@ class SlideInferencePipeline:
         )
 
     def embed(self, tiles: np.ndarray) -> np.ndarray:
-        """Chunked tile embedding -> (N, D) f32 features."""
+        """Chunked tile embedding -> (N, D) f32 features. Double-buffered:
+        jax dispatch is async, so host-side slicing/padding of chunk i+1
+        overlaps the device embedding of chunk i."""
         n = tiles.shape[0]
         feats = []
+        pending: tuple = ()
         for start in range(0, n, self.chunk):
             batch = tiles[start : start + self.chunk]
             pad = self.chunk - batch.shape[0]
             if pad:  # one compiled program for every chunk
                 batch = np.concatenate([batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)])
-            out = np.asarray(self._embed(*self._embed_args, jnp.asarray(batch)))
-            feats.append(out[: self.chunk - pad if pad else self.chunk])
+            out_dev = self._embed(*self._embed_args, jnp.asarray(batch))
+            if pending:
+                feats.append(np.asarray(pending[0])[: pending[1]])
+            pending = (out_dev, self.chunk - pad if pad else self.chunk)
+        if pending:
+            feats.append(np.asarray(pending[0])[: pending[1]])
         return np.concatenate(feats)
 
     def predict_slide(self, tiles: np.ndarray) -> np.ndarray:
