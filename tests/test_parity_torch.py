@@ -91,7 +91,7 @@ def test_frozen_fixture_parity(name):
     _assert_outputs_match(name, expected, got)
 
 
-@pytest.mark.parametrize("name", ["transmil_2048", "attmil_2048", "clam_mb", "dtfd", "chowder"])
+@pytest.mark.parametrize("name", ["transmil_2048", "attmil_2048", "clam_mb", "dtfd", "chowder", "transformer_mil_2048"])
 def test_live_torch_parity(name):
     pytest.importorskip("torch")
     bag = builders.make_bag(name, seed=7)

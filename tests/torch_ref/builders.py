@@ -14,12 +14,14 @@ from transmil_deepgraft_tpu.models.attmil import AttMIL as FlaxAttMIL
 from transmil_deepgraft_tpu.models.clam import CLAM_MB as FlaxCLAM_MB
 from transmil_deepgraft_tpu.models.clam import CLAM_SB as FlaxCLAM_SB
 from transmil_deepgraft_tpu.models.chowder import Chowder as FlaxChowder
+from transmil_deepgraft_tpu.models.transformer_mil import TransformerMIL as FlaxTransformerMIL
 from transmil_deepgraft_tpu.models.dtfd import DTFDMIL as FlaxDTFD
 from transmil_deepgraft_tpu.utils.torch_weights import (
     convert_attmil_state_dict,
     convert_chowder_state_dict,
     convert_clam_state_dict,
     convert_dtfd_state_dict,
+    convert_transformer_mil_state_dict,
     convert_transmil_state_dict,
 )
 
@@ -35,6 +37,8 @@ CONFIGS = {
     "clam_mb": (90, 1024, 3),
     "dtfd": (480, 1024, 2),
     "chowder": (120, 512, 2),
+    "transformer_mil_2048": (140, 2048, 2),
+    "transformer_mil_1024": (96, 1024, 3),
 }
 
 
@@ -64,6 +68,8 @@ def build_torch(name: str, seed: int = 0):
         model = T.DTFDMIL(n_classes=n_classes, in_features=in_features)
     elif name == "chowder":
         model = T.Chowder(n_classes=n_classes, features=in_features)
+    elif name.startswith("transformer_mil"):
+        model = T.TransformerMIL(n_classes=n_classes, in_features=in_features)
     else:
         raise KeyError(name)
     return model.eval()
@@ -84,6 +90,8 @@ def build_flax(name: str):
         return FlaxDTFD(n_classes=n_classes, in_features=in_features)
     if name == "chowder":
         return FlaxChowder(n_classes=n_classes, in_features=in_features)
+    if name.startswith("transformer_mil"):
+        return FlaxTransformerMIL(n_classes=n_classes, in_features=in_features)
     raise KeyError(name)
 
 
@@ -99,6 +107,8 @@ def convert(name: str, state_dict) -> dict:
         return convert_dtfd_state_dict(state_dict)
     if name == "chowder":
         return convert_chowder_state_dict(state_dict)
+    if name.startswith("transformer_mil"):
+        return convert_transformer_mil_state_dict(state_dict, in_features=in_features)
     raise KeyError(name)
 
 

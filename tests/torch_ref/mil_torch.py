@@ -484,3 +484,107 @@ class Chowder(nn.Module):
         min_v = torch.topk(x, self.R, largest=False).values
         cat = torch.cat((min_v, max_v), dim=2)  # (B, 1, 2R)
         return self.f2(cat).squeeze(0), None
+
+
+class _ViTAttention(nn.Module):
+    """Ref ``_transformer.py:16-44``."""
+
+    def __init__(self, dim=512, heads=8, dim_head=64, dropout=0.0):
+        super().__init__()
+        inner = heads * dim_head
+        self.heads = heads
+        self.scale = dim_head ** -0.5
+        self.to_qkv = nn.Linear(dim, inner * 3, bias=False)
+        self.to_out = nn.Sequential(nn.Linear(inner, dim), nn.Dropout(dropout))
+
+    def forward(self, x):
+        b, n, _ = x.shape
+        qkv = self.to_qkv(x).chunk(3, dim=-1)
+        q, k, v = (t.reshape(b, n, self.heads, -1).transpose(1, 2) for t in qkv)
+        attn = torch.softmax(q @ k.transpose(-1, -2) * self.scale, dim=-1)
+        out = (attn @ v).transpose(1, 2).reshape(b, n, -1)
+        return self.to_out(out)
+
+
+class _ViTFeedForward(nn.Module):
+    """Ref ``_transformer.py:46-58``."""
+
+    def __init__(self, dim=512, hidden_dim=512, dropout=0.0):
+        super().__init__()
+        self.net = nn.Sequential(
+            nn.Linear(dim, hidden_dim), nn.GELU(), nn.Dropout(dropout),
+            nn.Linear(hidden_dim, dim), nn.Dropout(dropout),
+        )
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class _PreNorm(nn.Module):
+    def __init__(self, dim, fn):
+        super().__init__()
+        self.norm = nn.LayerNorm(dim)
+        self.fn = fn
+
+    def forward(self, x):
+        return self.fn(self.norm(x))
+
+
+class _ViTTransformer(nn.Module):
+    """Ref ``TransformerMIL.py:18-32``."""
+
+    def __init__(self, dim, depth, heads, dim_head, mlp_dim, dropout=0.0):
+        super().__init__()
+        self.layers = nn.ModuleList([
+            nn.ModuleList([
+                _PreNorm(dim, _ViTAttention(dim, heads, dim_head, dropout)),
+                _PreNorm(dim, _ViTFeedForward(dim, mlp_dim, dropout)),
+            ])
+            for _ in range(depth)
+        ])
+
+    def forward(self, x):
+        for attn, ff in self.layers:
+            x = attn(x) + x
+            x = ff(x) + x
+        return x
+
+
+class TransformerMIL(nn.Module):
+    """Ref ``TransformerMIL.py:74-152`` ACTIVE forward (fc1 -> cls ->
+    transformer1 -> transformer2 -> cls pool -> norm -> fc2; the conv/PPEG/
+    TransLayer members are dead code in the reference)."""
+
+    def __init__(self, n_classes: int, in_features: int = 2048, out_features: int = 512):
+        super().__init__()
+        if in_features == 2048:
+            self.fc1 = nn.Sequential(
+                nn.Linear(in_features, in_features // 2), nn.GELU(), nn.Dropout(0.6),
+                nn.LayerNorm(in_features // 2),
+                nn.Linear(in_features // 2, out_features), nn.GELU(),
+            )
+        elif in_features == 1024:
+            self.fc1 = nn.Sequential(
+                nn.Linear(in_features, out_features), nn.GELU(), nn.Dropout(0.6),
+                nn.LayerNorm(out_features),
+            )
+        else:
+            self.fc1 = nn.Sequential(nn.Linear(in_features, out_features), nn.ReLU())
+        self.cls_token = nn.Parameter(torch.randn(1, 1, out_features))
+        self.transformer1 = _ViTTransformer(out_features, 2, 8, 64, 512, dropout=0.5)
+        self.transformer2 = _ViTTransformer(out_features, 2, 8, 64, 512, dropout=0.5)
+        self.dropout = nn.Dropout(0.5)
+        self.norm = nn.LayerNorm(out_features)
+        self._fc2 = nn.Linear(out_features, n_classes)
+
+    def forward(self, x):
+        if x.dim() == 2:
+            x = x.unsqueeze(0)
+        x = self.fc1(x)
+        cls = self.cls_token.expand(x.shape[0], -1, -1)
+        x = torch.cat((cls, x), dim=1)
+        x = self.dropout(x)
+        x = self.transformer1(x)
+        x = self.transformer2(x)
+        x = self.norm(x[:, 0])
+        return self._fc2(x)

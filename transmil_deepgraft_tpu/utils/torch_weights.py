@@ -258,6 +258,51 @@ def convert_dtfd_state_dict(state_dict: Mapping[str, Any]) -> dict:
     return {"params": p}
 
 
+def convert_transformer_mil_state_dict(
+    state_dict: Mapping[str, Any], in_features: int = 2048
+) -> dict:
+    """torch TransformerMIL (ref ``TransformerMIL.py:74-152`` active forward)
+    -> flax params for :class:`...models.transformer_mil.TransformerMIL`."""
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+
+    def dense(prefix):
+        out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = _np(sd[f"{prefix}.bias"])
+        return out
+
+    def ln(prefix):
+        return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+    p: dict = {"cls_token": _np(sd["cls_token"])}
+    if in_features == 2048:
+        p["fc1_0"] = dense("fc1.0")
+        p["fc1_norm0"] = ln("fc1.3")
+        p["fc1_1"] = dense("fc1.4")
+    elif in_features == 1024:
+        p["fc1_0"] = dense("fc1.0")
+        p["fc1_norm0"] = ln("fc1.3")
+    else:
+        p["fc1_0"] = dense("fc1.0")
+    for t in ("transformer1", "transformer2"):
+        blk: dict = {}
+        for i in range(2):
+            blk[f"attn_norm_{i}"] = ln(f"{t}.layers.{i}.0.norm")
+            blk[f"attn_{i}"] = {
+                "to_qkv": {"kernel": _np(sd[f"{t}.layers.{i}.0.fn.to_qkv.weight"]).T},
+                "to_out": dense(f"{t}.layers.{i}.0.fn.to_out.0"),
+            }
+            blk[f"ff_norm_{i}"] = ln(f"{t}.layers.{i}.1.norm")
+            blk[f"ff_{i}"] = {
+                "Dense_0": dense(f"{t}.layers.{i}.1.fn.net.0"),
+                "Dense_1": dense(f"{t}.layers.{i}.1.fn.net.3"),
+            }
+        p[t] = blk
+    p["norm"] = ln("norm")
+    p["fc2"] = dense("_fc2")
+    return {"params": p}
+
+
 def convert_chowder_state_dict(state_dict: Mapping[str, Any]) -> dict:
     """torch Chowder (ref ``Chowder.py:19-50``: Conv1d(L,1,1) scorer + 3-layer
     MLP) -> flax params for :class:`transmil_deepgraft_tpu.models.chowder.Chowder`."""
