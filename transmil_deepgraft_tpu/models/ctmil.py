@@ -4,6 +4,13 @@ Ref ``code/models/CTMIL.py:74-165``: input is a spatial feature volume
 (B, 50, 50, 2048) from ``LocalFeatureBagLoader``; two conv+BN+GELU+maxpool
 stages (2048 -> 1024 -> 512, spatial /4) tokenize the grid, then the TransMIL
 pipeline (cls token -> TransLayer -> PPEG -> TransLayer -> LN -> fc). NHWC here.
+
+Deliberate deviation (PARITY.md): the reference tokenizes with
+``h.view(B, H*W, C)`` on an NCHW tensor (``CTMIL.py:144``) — a memory
+REINTERPRETATION that scrambles channels across token positions (and its
+forward hardcodes ``.cuda()``, so it cannot run on CPU at all). Here the
+tokenization is the intended (H*W, C) layout; reference CTMIL checkpoints are
+therefore not convertible (their weights encode the scrambled basis).
 """
 
 from __future__ import annotations
