@@ -61,3 +61,23 @@ def test_transmil_dp4_sp2_matches_single_device(tmp_path):
     h_single = build(tmp_path / "single", None).fit()
     assert abs(h_mesh["loss"] - h_single["loss"]) < 5e-4, (h_mesh["loss"], h_single["loss"])
     assert abs(h_mesh["val_loss"] - h_single["val_loss"]) < 5e-4
+
+
+def test_transmil_learns_synthetic_signal(tmp_path):
+    """End-to-end learning sanity: TransMIL driven by the Trainer reaches high
+    val AUC on a separable synthetic task (not just a smoke forward)."""
+    from transmil_deepgraft_tpu.models import TransMIL
+
+    dm = MILDataModule(
+        n_classes=2, max_bag_size=32, batch_size=4,
+        synthetic={"n_train": 24, "n_val": 16, "n_test": 8, "bag_size": 32,
+                   "feature_size": 32, "signal": 3.0},
+        seed=1,
+    )
+    model = TransMIL(n_classes=2, in_features=32, out_features=32)
+    tx = create_optimizer(opt="adam", lr=1e-3, weight_decay=0.0)
+    cfg = TrainerConfig(epochs=25, patience=25, log_dir=str(tmp_path), task="norm_rest")
+    tr = Trainer(model, tx, dm, n_classes=2, loss_fn=create_loss(), config=cfg,
+                 model_name="TransMIL")
+    hist = tr.fit()
+    assert hist["val_auc"] > 0.9, hist
