@@ -81,3 +81,24 @@ def test_transmil_learns_synthetic_signal(tmp_path):
                  model_name="TransMIL")
     hist = tr.fit()
     assert hist["val_auc"] > 0.9, hist
+
+
+def test_dtfd_learns_synthetic_signal(tmp_path):
+    """DTFD two-tier training (two optimizer groups via multi_transform,
+    pseudo-bag decomposition) learns the separable synthetic task."""
+    from transmil_deepgraft_tpu.models.dtfd import DTFDMIL
+    from transmil_deepgraft_tpu.train.optimizers import create_dtfd_optimizer
+
+    dm = MILDataModule(
+        n_classes=2, max_bag_size=32, batch_size=1,
+        synthetic={"n_train": 24, "n_val": 16, "n_test": 8, "bag_size": 32,
+                   "feature_size": 32, "signal": 3.0},
+        seed=2,
+    )
+    model = DTFDMIL(n_classes=2, in_features=32, m_dim=32)
+    tx = create_dtfd_optimizer(steps_per_epoch=24, lr=1e-3)
+    cfg = TrainerConfig(epochs=12, patience=12, log_dir=str(tmp_path), task="norm_rest")
+    tr = Trainer(model, tx, dm, n_classes=2, loss_fn=create_loss(), config=cfg,
+                 model_name="DTFD")
+    hist = tr.fit()
+    assert hist["val_auc"] > 0.85, hist
