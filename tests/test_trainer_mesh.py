@@ -102,3 +102,23 @@ def test_dtfd_learns_synthetic_signal(tmp_path):
                  model_name="DTFD")
     hist = tr.fit()
     assert hist["val_auc"] > 0.85, hist
+
+
+def test_clam_learns_synthetic_signal(tmp_path):
+    """CLAM_SB with instance-level clustering loss learns the synthetic task
+    (exercises the in/out instance-mining path through the Trainer)."""
+    from transmil_deepgraft_tpu.models.clam import CLAM_SB
+
+    dm = MILDataModule(
+        n_classes=2, max_bag_size=32, batch_size=1,
+        synthetic={"n_train": 64, "n_val": 16, "n_test": 8, "bag_size": 32,
+                   "feature_size": 32, "signal": 3.0},
+        seed=3,
+    )
+    model = CLAM_SB(n_classes=2, in_features=32)
+    tx = create_optimizer(opt="adam", lr=1e-3, weight_decay=0.0)
+    cfg = TrainerConfig(epochs=12, patience=12, log_dir=str(tmp_path), task="norm_rest")
+    tr = Trainer(model, tx, dm, n_classes=2, loss_fn=create_loss(), config=cfg,
+                 model_name="CLAM_SB")
+    hist = tr.fit()
+    assert hist["val_auc"] > 0.85, hist
