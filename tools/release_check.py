@@ -1,0 +1,105 @@
+"""Repo self-audit: one command to verify the user-facing surface is intact.
+
+Checks (fast, CPU-only): every CLI parses ``--help``; the whole config pack
+parses+finalizes; every public converter imports; the native libraries build;
+the driver entry points import; the model registry constructs every head.
+
+  python tools/release_check.py
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+FAILS: list[str] = []
+
+
+def check(name: str, fn) -> None:
+    try:
+        fn()
+        print(f"ok   {name}")
+    except Exception as e:  # noqa: BLE001
+        FAILS.append(name)
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+
+
+def clis() -> None:
+    for mod in ("train", "visualize", "extract_features", "sustainability",
+                "infer", "export_metrics"):
+        r = subprocess.run(
+            [sys.executable, "-m", f"transmil_deepgraft_tpu.cli.{mod}", "--help"],
+            capture_output=True, cwd=REPO, env={**os.environ, "PYTHONPATH": str(REPO)},
+        )
+        if r.returncode != 0:
+            raise RuntimeError(f"cli.{mod} --help: {r.stderr.decode()[-200:]}")
+
+
+def config_pack() -> None:
+    from transmil_deepgraft_tpu.utils.config import finalize_config, read_yaml
+
+    paths = sorted((REPO / "configs").rglob("*.yaml"))
+    assert len(paths) >= 75, f"only {len(paths)} configs found"
+    for p in paths:
+        finalize_config(read_yaml(p), config_path=p, stage="train")
+
+
+def converters() -> None:
+    from transmil_deepgraft_tpu.utils import torch_weights as tw
+
+    for fn in ("convert_resnet_state_dict", "convert_transmil_state_dict",
+               "convert_attmil_state_dict", "convert_clam_state_dict",
+               "convert_dtfd_state_dict", "convert_chowder_state_dict",
+               "convert_transformer_mil_state_dict", "convert_efficientnet_state_dict",
+               "convert_vit_state_dict", "convert_inception_state_dict",
+               "convert_monai_mil_state_dict"):
+        assert callable(getattr(tw, fn)), fn
+
+
+def native_libs() -> None:
+    r = subprocess.run(["make", "-C", str(REPO / "native")], capture_output=True)
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr.decode()[-200:])
+    assert (REPO / "native" / "libbagstore.so").exists()
+    assert (REPO / "native" / "libtileloader.so").exists()
+
+
+def model_registry() -> None:
+    from transmil_deepgraft_tpu.models import MODEL_REGISTRY, create_model
+
+    for name in MODEL_REGISTRY:
+        create_model(name, n_classes=2, in_features=64, out_features=64)
+
+
+def driver_entry() -> None:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ge", REPO / "__graft_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    assert callable(m.entry) and callable(m.dryrun_multichip)
+    assert (REPO / "bench.py").exists()
+
+
+def main() -> int:
+    check("CLI --help surface", clis)
+    check("config pack parses", config_pack)
+    check("converters present", converters)
+    check("native libraries build", native_libs)
+    check("model registry constructs", model_registry)
+    check("driver entry points", driver_entry)
+    if FAILS:
+        print(f"\n{len(FAILS)} check(s) failed: {FAILS}")
+        return 1
+    print("\nall release checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
