@@ -122,3 +122,23 @@ def test_clam_learns_synthetic_signal(tmp_path):
                  model_name="CLAM_SB")
     hist = tr.fit()
     assert hist["val_auc"] > 0.85, hist
+
+
+def test_monai_att_trans_learns_synthetic_signal(tmp_path):
+    """MONAI att_trans head (transformer encoder + gated attention pooling)
+    learns the synthetic task through the Trainer."""
+    from transmil_deepgraft_tpu.models.monai_mil import MonaiMIL
+
+    dm = MILDataModule(
+        n_classes=2, max_bag_size=32, batch_size=4,
+        synthetic={"n_train": 32, "n_val": 16, "n_test": 8, "bag_size": 32,
+                   "feature_size": 32, "signal": 3.0},
+        seed=4,
+    )
+    model = MonaiMIL(n_classes=2, in_features=32, mil_mode="att_trans")
+    tx = create_optimizer(opt="adam", lr=1e-3, weight_decay=0.0)
+    cfg = TrainerConfig(epochs=15, patience=15, log_dir=str(tmp_path), task="norm_rest")
+    tr = Trainer(model, tx, dm, n_classes=2, loss_fn=create_loss(), config=cfg,
+                 model_name="MonaiMIL")
+    hist = tr.fit()
+    assert hist["val_auc"] > 0.85, hist
