@@ -107,6 +107,9 @@ LABEL_MAP: dict[str, dict[str, str]] = {
     "tcmr_abmr": {"0": "TCMR", "1": "ABMR"},
     "tcmr": {"0": "Other", "1": "TCMR"},
     "tcmr_viral": {"0": "TCMR", "1": "Viral"},
+    # tasks only named in the reference's label_map.json (test_visualize.py:277)
+    "no_viral": {"0": "Normal", "1": "TCMR", "2": "ABMR", "3": "Mixed"},
+    "all": {"0": "Normal", "1": "TCMR", "2": "ABMR", "3": "Mixed", "4": "Viral", "5": "Other"},
     "camelyon16": {"0": "Normal", "1": "Tumor"},
 }
 
