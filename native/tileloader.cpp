@@ -100,7 +100,72 @@ void resize_normalize(const std::vector<unsigned char>& src, int w, int h,
 
 }  // namespace
 
+namespace {
+
+// bilinear resize to u8 (no normalization): the device-side-normalize path
+// ships 4x less host->device data than normalized f32 tiles
+void resize_u8(const std::vector<unsigned char>& src, int w, int h, int size,
+               unsigned char* dst) {
+  const float sx = static_cast<float>(w) / size;
+  const float sy = static_cast<float>(h) / size;
+  for (int oy = 0; oy < size; ++oy) {
+    float fy = (oy + 0.5f) * sy - 0.5f;
+    int y0 = fy < 0 ? 0 : static_cast<int>(fy);
+    if (y0 > h - 1) y0 = h - 1;
+    int y1 = y0 + 1 > h - 1 ? h - 1 : y0 + 1;
+    float wy = fy - y0;
+    if (wy < 0) wy = 0;
+    for (int ox = 0; ox < size; ++ox) {
+      float fx = (ox + 0.5f) * sx - 0.5f;
+      int x0 = fx < 0 ? 0 : static_cast<int>(fx);
+      if (x0 > w - 1) x0 = w - 1;
+      int x1 = x0 + 1 > w - 1 ? w - 1 : x0 + 1;
+      float wx = fx - x0;
+      if (wx < 0) wx = 0;
+      for (int c = 0; c < 3; ++c) {
+        float v00 = src[(static_cast<size_t>(y0) * w + x0) * 3 + c];
+        float v01 = src[(static_cast<size_t>(y0) * w + x1) * 3 + c];
+        float v10 = src[(static_cast<size_t>(y1) * w + x0) * 3 + c];
+        float v11 = src[(static_cast<size_t>(y1) * w + x1) * 3 + c];
+        float v = v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
+                  v10 * wy * (1 - wx) + v11 * wy * wx;
+        dst[(static_cast<size_t>(oy) * size + ox) * 3 + c] =
+            static_cast<unsigned char>(v + 0.5f);
+      }
+    }
+  }
+}
+
+}  // namespace
+
 extern "C" {
+
+// Raw-u8 variant: decode + resize only (normalization happens on-device).
+int tl_load_batch_u8(const char** paths, int n, int size, unsigned char* out,
+                     int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0), ok(0);
+  const size_t tile_bytes = static_cast<size_t>(size) * size * 3;
+  auto worker = [&]() {
+    std::vector<unsigned char> rgb;
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      int w = 0, h = 0;
+      unsigned char* dst = out + tile_bytes * i;
+      if (!decode_jpeg(paths[i], rgb, w, h)) {
+        memset(dst, 0, tile_bytes);
+        continue;
+      }
+      resize_u8(rgb, w, h, size, dst);
+      ok.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok.load();
+}
 
 // Returns the number of successfully loaded tiles; failed paths leave zeros.
 // out must hold n * size * size * 3 floats.

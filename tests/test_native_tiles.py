@@ -83,3 +83,30 @@ def test_throughput_vs_pil(tmp_path, rng):
     # real speedup needs multi-core hosts - the CI VM has 1 vCPU). Wide margin
     # so scheduler noise under a loaded test run cannot flake this.
     assert t_native < t_pil * 2.5, (t_native, t_pil)
+
+
+def test_u8_loader_and_device_normalize_path(tmp_path, rng):
+    """Raw-u8 decode (tl_load_batch_u8) + on-device normalization == the
+    host-normalized f32 path (the 4x-less-transfer serving route)."""
+    import jax.numpy as jnp
+
+    paths = _write_jpegs(tmp_path, rng, 4, 48)
+    u8, n_ok = nt.load_tiles_u8(paths, size=48)
+    assert n_ok == 4 and u8.dtype == np.uint8
+    # decode-only must match PIL bytes exactly at native size
+    ref_u8 = np.stack([_load_tile(p, 48) for p in paths])
+    np.testing.assert_array_equal(u8, ref_u8)
+
+    # pipeline: u8 input + device normalize == f32 host-normalized input
+    from transmil_deepgraft_tpu.inference import SlideInferencePipeline
+    from transmil_deepgraft_tpu.models import TransMIL
+    from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+    import jax
+
+    backbone = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+    bv = jax.device_get(backbone.init({"params": jax.random.key(0)}, jnp.zeros((1, 48, 48, 3))))
+    head = TransMIL(n_classes=2, in_features=2048, out_features=32)
+    hv = head.init({"params": jax.random.key(1)}, jnp.zeros((1, 4, 2048)))
+    f32 = imagenet_normalize(u8)
+    p = SlideInferencePipeline(bv, head, hv, calib_tiles=f32, chunk=2)
+    np.testing.assert_allclose(p.embed(u8), p.embed(f32), atol=2e-2, rtol=1e-4)

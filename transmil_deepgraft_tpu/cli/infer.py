@@ -85,7 +85,8 @@ def main(argv: list[str] | None = None) -> list[dict]:
         from transmil_deepgraft_tpu.data import native_tiles as nt
 
         if nt.available() and all(str(p).lower().endswith((".jpg", ".jpeg")) for p in tile_paths):
-            tiles, n_ok = nt.load_tiles(tile_paths, args.tile_size)
+            # raw u8: normalization happens on-device (4x less transfer)
+            tiles, n_ok = nt.load_tiles_u8(tile_paths, args.tile_size)
             if n_ok != len(tile_paths):
                 tiles = np.stack(
                     [imagenet_normalize(_load_tile(p, args.tile_size)) for p in tile_paths]
@@ -96,6 +97,8 @@ def main(argv: list[str] | None = None) -> list[dict]:
             )
         if pipeline is None:
             calib = None if args.quantize == "bf16" else tiles[: min(32, len(tiles))]
+            if calib is not None and calib.dtype == np.uint8:
+                calib = imagenet_normalize(calib)
             pipeline = SlideInferencePipeline(
                 bb_vars, head, head_vars,
                 calib_tiles=calib, chunk=args.chunk,

@@ -53,6 +53,11 @@ def _load_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ]
+        lib.tl_load_batch_u8.restype = ctypes.c_int
+        lib.tl_load_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+        ]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -94,5 +99,29 @@ def load_tiles(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads,
         mean32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         std32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out, int(n_ok)
+
+
+def load_tiles_u8(
+    paths: Sequence[str | Path],
+    size: int = 224,
+    n_threads: int | None = None,
+) -> tuple[np.ndarray, int]:
+    """Decode ``paths`` -> RAW (N, size, size, 3) uint8 (no normalization).
+
+    The device-side-normalize serving path: uint8 ships 4x less host->device
+    data than normalized float32 tiles (77 MB -> 19 MB per 128-tile chunk)."""
+    lib = _load_lib()
+    if lib is None:
+        raise RuntimeError("native tile loader unavailable (libjpeg / build failed)")
+    n = len(paths)
+    out = np.zeros((n, size, size, 3), np.uint8)
+    if n == 0:
+        return out, 0
+    c_paths = (ctypes.c_char_p * n)(*[os.fspath(p).encode() for p in paths])
+    threads = n_threads or min(16, os.cpu_count() or 4)
+    n_ok = lib.tl_load_batch_u8(
+        c_paths, n, size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), threads
     )
     return out, int(n_ok)

@@ -72,11 +72,9 @@ class SlideInferencePipeline:
                     if t and chunk % t:  # 0 = XLA for that segment (mixed)
                         raise ValueError(f"t={t} does not divide chunk={chunk}")
                 self._q = prepare_qresnet50_fused(self._q)
-                self._embed = jax.jit(
-                    partial(apply_qresnet50_fused, t_cfg=fused_t_cfg)
-                )
+                embed_core = partial(apply_qresnet50_fused, t_cfg=fused_t_cfg)
             else:
-                self._embed = jax.jit(apply_qresnet50)
+                embed_core = apply_qresnet50
             self._embed_args = (self._q,)
         else:
             from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
@@ -88,10 +86,20 @@ class SlideInferencePipeline:
                 if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
                 backbone_variables,
             )
-            self._embed = jax.jit(
-                lambda v, t: model.apply(v, t.astype(jnp.bfloat16)).astype(jnp.float32)
-            )
+            embed_core = lambda v, t: model.apply(v, t.astype(jnp.bfloat16)).astype(jnp.float32)
             self._embed_args = (bf16_vars,)
+
+        self._embed = jax.jit(embed_core)
+        # uint8 serving path: raw u8 tiles ship 4x less host->device data;
+        # ImageNet normalization runs ON DEVICE (data/native_tiles.load_tiles_u8
+        # produces the matching raw tiles)
+        _mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+        _std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+        self._embed_u8 = jax.jit(
+            lambda *a: embed_core(
+                *a[:-1], (a[-1].astype(jnp.float32) / 255.0 - _mean) / _std
+            )
+        )
 
         self._head_fwd = jax.jit(
             lambda v, f: jax.nn.softmax(self.head.apply(v, f, deterministic=True), axis=-1)
@@ -101,9 +109,12 @@ class SlideInferencePipeline:
         )
 
     def embed(self, tiles: np.ndarray) -> np.ndarray:
-        """Chunked tile embedding -> (N, D) f32 features. Double-buffered:
-        jax dispatch is async, so host-side slicing/padding of chunk i+1
-        overlaps the device embedding of chunk i."""
+        """Chunked tile embedding -> (N, D) f32 features. Accepts normalized
+        float32 tiles OR raw uint8 tiles (normalized on device: 4x less
+        host->device transfer). Double-buffered: jax dispatch is async, so
+        host-side slicing/padding of chunk i+1 overlaps the device embedding
+        of chunk i."""
+        embed = self._embed_u8 if tiles.dtype == np.uint8 else self._embed
         n = tiles.shape[0]
         feats = []
         pending: tuple = ()
@@ -112,7 +123,7 @@ class SlideInferencePipeline:
             pad = self.chunk - batch.shape[0]
             if pad:  # one compiled program for every chunk
                 batch = np.concatenate([batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)])
-            out_dev = self._embed(*self._embed_args, jnp.asarray(batch))
+            out_dev = embed(*self._embed_args, jnp.asarray(batch))
             if pending:
                 feats.append(np.asarray(pending[0])[: pending[1]])
             pending = (out_dev, self.chunk - pad if pad else self.chunk)
