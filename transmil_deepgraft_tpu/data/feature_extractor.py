@@ -48,7 +48,8 @@ def extract_slide_features(
 
     def decode(chunk):
         if use_native:
-            batch, n_ok = nt.load_tiles(chunk, tile_size)
+            # raw u8 + ON-DEVICE normalization: 4x less host->device transfer
+            batch, n_ok = nt.load_tiles_u8(chunk, tile_size)
             if n_ok != len(chunk):  # decode failure: fall back to PIL for this chunk
                 batch = np.stack(
                     [imagenet_normalize(_load_tile(p, tile_size)) for p in chunk]
@@ -64,18 +65,24 @@ def extract_slide_features(
         n = batch.shape[0]
         if n < batch_size:  # pad so one program compiles for all batches
             batch = np.concatenate(
-                [batch, np.zeros((batch_size - n, *batch.shape[1:]), np.float32)]
+                [batch, np.zeros((batch_size - n, *batch.shape[1:]), batch.dtype)]
             )
         return batch, n
 
     # double-buffered: jax dispatch is async, so decoding chunk i+1 on the
     # host overlaps the device embedding of chunk i; only the final
     # np.asarray fetch per chunk synchronizes
+    _mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+    _std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+    dev_norm = jax.jit(lambda t: (t.astype(jnp.float32) / 255.0 - _mean) / _std)
     feats: list[np.ndarray] = []
     pending: tuple = ()
     for start in range(0, len(tile_paths), batch_size):
         batch, n = decode(tile_paths[start : start + batch_size])
-        out_dev = embed_fn(jnp.asarray(batch))
+        dev = jnp.asarray(batch)
+        if dev.dtype == jnp.uint8:
+            dev = dev_norm(dev)
+        out_dev = embed_fn(dev)
         if pending:
             feats.append(np.asarray(pending[0])[: pending[1]])
         pending = (out_dev, n)
