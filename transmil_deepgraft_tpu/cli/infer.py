@@ -45,7 +45,8 @@ def _load_variables(path: str, kind: str, n_classes: int, in_features: int) -> d
         sd = tw.load_torch_checkpoint(path)
         if kind == "backbone":
             return tw.convert_resnet_state_dict(sd)
-        return {"params": tw.convert_transmil_state_dict(sd, in_features=in_features)}
+        # convert_transmil_state_dict already returns {'params': ...}
+        return tw.convert_transmil_state_dict(sd, in_features=in_features)
     from flax import serialization
 
     return serialization.msgpack_restore(Path(path).read_bytes())

@@ -72,6 +72,20 @@ def load_bag_file(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     raise ValueError(f"unsupported bag file type: {path}")
 
 
+def _resolve_bag_path(path: Path) -> Path | None:
+    """Candidate resolution shared by the primary and mixed-res lookups:
+    the path itself, a ``.h5`` suffix for extension-less entries, then
+    suffix-preserving ``+.h5/.pt/.npy`` variants."""
+    cands = [path]
+    if not path.suffix:
+        cands.append(path.with_suffix(".h5"))
+    cands += [Path(str(path) + ext) for ext in (".h5", ".pt", ".npy")]
+    for cand in cands:
+        if cand.exists() and cand.is_file():
+            return cand
+    return None
+
+
 class FeatureBagDataset:
     def __init__(
         self,
@@ -116,6 +130,7 @@ class FeatureBagDataset:
         self.names: list[str] = []
         self.patients: list[str] = []
         self.missing: list[str] = []
+        self.mixed_res_missing: list[str] = []
         for rel, label in entries:
             if feature_extractor:
                 rel = rel.replace(DEFAULT_FEATURE_TEMPLATE, feature_extractor)
@@ -125,12 +140,7 @@ class FeatureBagDataset:
             if slides is not None and name not in slides:
                 continue
             path = self.file_path / rel
-            found = None
-            for cand in (path, path.with_suffix(path.suffix + ".h5") if not path.suffix else path,
-                         Path(str(path) + ".h5"), Path(str(path) + ".pt"), Path(str(path) + ".npy")):
-                if Path(cand).exists() and Path(cand).is_file():
-                    found = Path(cand)
-                    break
+            found = _resolve_bag_path(path)
             if found is None:
                 self.missing.append(rel)
                 continue
@@ -145,18 +155,17 @@ class FeatureBagDataset:
             # train item with the same label/patient; eval stays single-res)
             if mixed_res_dirs and mode in ("train", "fine_tune"):
                 for extra_root in mixed_res_dirs:
-                    extra = Path(extra_root) / rel
-                    for cand in (extra, Path(str(extra) + ".h5"),
-                                 Path(str(extra) + ".pt"), Path(str(extra) + ".npy")):
-                        if Path(cand).exists() and Path(cand).is_file():
-                            self.files.append(Path(cand))
-                            self.labels.append(int(label))
-                            self.names.append(name)
-                            self.patients.append(
-                                self.slide_patient[name]
-                                if self.slide_patient is not None else name
-                            )
-                            break
+                    extra_found = _resolve_bag_path(Path(extra_root) / rel)
+                    if extra_found is None:
+                        self.mixed_res_missing.append(str(Path(extra_root) / rel))
+                        continue
+                    self.files.append(extra_found)
+                    self.labels.append(int(label))
+                    self.names.append(name)
+                    self.patients.append(
+                        self.slide_patient[name]
+                        if self.slide_patient is not None else name
+                    )
 
     def __len__(self) -> int:
         return len(self.files)

@@ -58,11 +58,31 @@ def _load_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
         ]
+        _selftest(lib)
         _lib = lib
     except Exception:
         _lib_failed = True
         _lib = None
     return _lib
+
+
+def _selftest(lib: ctypes.CDLL) -> None:
+    """Decode one tiny JPEG through the library before reporting available():
+    catches ABI drift / wrong-result builds (advisor finding, round 2)."""
+    import tempfile
+
+    from PIL import Image
+
+    with tempfile.TemporaryDirectory() as td:
+        p = Path(td) / "probe.jpg"
+        Image.fromarray(np.full((8, 8, 3), 128, np.uint8)).save(p, quality=95)
+        out = np.empty((1, 8, 8, 3), np.uint8)
+        arr = (ctypes.c_char_p * 1)(str(p).encode())
+        rc = lib.tl_load_batch_u8(
+            arr, 1, 8, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), 1
+        )
+        if rc != 1 or abs(float(out.mean()) - 128.0) > 8.0:
+            raise RuntimeError("native tileloader self-test failed")
 
 
 def available() -> bool:

@@ -463,11 +463,9 @@ class Trainer:
             first = next(iter(self.dm.train_batches(epoch=0)))
             self.init_params(first)
         target = self._train_state_tree(0, 0.0, 0, 0)
-        data = Path(path).read_bytes()
-        from flax import serialization
-
         try:
-            restored = serialization.from_bytes(target, data)
+            # load_pytree autodetects the backend (orbax checkpoints are dirs)
+            restored = load_pytree(path, target)
         except (ValueError, KeyError):
             self.load_checkpoint(path)
             return False
@@ -677,9 +675,6 @@ class Trainer:
         if self.params is None:
             first = next(iter(self.dm.eval_batches("test")))
             self.init_params(first)
-        data = Path(path).read_bytes()
-        from flax import serialization
-
         restored = None
         for target in (
             {"params": self.params, "model_state": self.model_state},
@@ -687,7 +682,7 @@ class Trainer:
             self._train_state_tree(0, 0.0, 0, 0),
         ):
             try:
-                restored = serialization.from_bytes(target, data)
+                restored = load_pytree(path, target)
                 break
             except (ValueError, KeyError):
                 continue

@@ -57,13 +57,25 @@ def load_pytree(path: str | Path, target: Any, backend: str | None = None) -> An
 
         with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
             restored = ckptr.restore(path.resolve())
-        flat, treedef = jax.tree.flatten(target)
-        rflat, _ = jax.tree.flatten(restored)
-        if len(flat) != len(rflat):
-            raise ValueError(
-                f"checkpoint/target structure mismatch: {len(rflat)} vs {len(flat)} leaves"
-            )
-        return jax.tree.unflatten(treedef, rflat)
+        # Reassemble structure-aware: orbax (target-less) returns dicts (field
+        # names for namedtuples) and positional lists for tuples; adapt lists
+        # to flax's {'0'..'N'} state-dict form and let from_state_dict place
+        # every leaf by key (a flatten-order zip would scramble >10 positional
+        # children because dict keys sort lexicographically).
+        target_sd = serialization.to_state_dict(target)
+
+        def _as_state_dict(x, tgt):
+            if x is None and isinstance(tgt, dict) and not tgt:
+                return {}  # orbax stores empty subtrees (e.g. model_state) as None
+            if isinstance(x, (list, tuple)):
+                tgt = tgt if isinstance(tgt, dict) else {}
+                return {str(i): _as_state_dict(v, tgt.get(str(i))) for i, v in enumerate(x)}
+            if isinstance(x, dict):
+                tgt = tgt if isinstance(tgt, dict) else {}
+                return {k: _as_state_dict(v, tgt.get(k)) for k, v in x.items()}
+            return x
+
+        return serialization.from_state_dict(target, _as_state_dict(restored, target_sd))
     raise ValueError(f"unknown checkpoint backend {backend!r}")
 
 
