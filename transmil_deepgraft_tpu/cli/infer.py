@@ -97,7 +97,9 @@ def main(argv: list[str] | None = None) -> list[dict]:
                 [imagenet_normalize(_load_tile(p, args.tile_size)) for p in tile_paths]
             )
         if pipeline is None:
-            calib = None if args.quantize == "bf16" else tiles[: min(32, len(tiles))]
+            # >=64 calibration tiles: coverage halves the worst-case AUC shift
+            # (BENCHMARKS.md int8 AUC guard table)
+            calib = None if args.quantize == "bf16" else tiles[: min(64, len(tiles))]
             if calib is not None and calib.dtype == np.uint8:
                 calib = imagenet_normalize(calib)
             pipeline = SlideInferencePipeline(

@@ -118,7 +118,14 @@ def extract_cohort(
             build_qresnet50,
         )
 
-        calib_paths = dataset.tiles_of(0)[: min(32, batch_size)]
+        # >=64 tiles drawn across slides: calibration coverage halves the
+        # worst-case int8 AUC shift (BENCHMARKS.md int8 AUC guard table)
+        n_cal_slides = min(8, len(dataset))
+        per_slide = max(8, 64 // max(1, n_cal_slides))
+        calib_paths = []
+        for s in range(n_cal_slides):
+            calib_paths += dataset.tiles_of(s)[:per_slide]
+        calib_paths = calib_paths[:64] or dataset.tiles_of(0)[:batch_size]
         calib = np.stack(
             [imagenet_normalize(_load_tile(p, 224)) for p in calib_paths]
         )

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Callable, Optional
@@ -77,6 +78,15 @@ class TrainerConfig:
     # state to last.ckpt. Resume restarts the interrupted epoch from its
     # beginning with the exact rng stream a straight-through run would use.
     autosave_steps: int = 0
+    # DALI-equivalent host/device overlap (data/pipeline.py, ref
+    # dali_dataloader.py:26-255): keep N batches staged on device by a
+    # background thread so H2D transfer overlaps the previous step. 0 = the
+    # synchronous per-batch jnp.asarray path.
+    prefetch_batches: int = 2
+    # bound on the per-(bag-shape, with_attn) jitted-eval cache; least
+    # recently used entries are dropped beyond this (eval_pad='exact' over a
+    # real cohort can see hundreds of distinct lengths)
+    eval_fn_cache: int = 256
 
 
 def mutable_lr_scale() -> optax.GradientTransformation:
@@ -191,7 +201,7 @@ class Trainer:
         self.opt_state = None
         self._resume_fit_state: Optional[dict] = None
         self._train_step = None
-        self._eval_fns: dict[tuple, Callable] = {}
+        self._eval_fns: "OrderedDict[tuple, Callable]" = OrderedDict()
         self._swa_params = None
         self._swa_count = 0
 
@@ -304,7 +314,9 @@ class Trainer:
 
     def _eval_fn(self, bag_shape: tuple, with_attn: bool = False) -> Callable:
         key = (bag_shape, with_attn)
-        if key not in self._eval_fns:
+        if key in self._eval_fns:
+            self._eval_fns.move_to_end(key)  # LRU refresh
+        else:
             if with_attn:
                 def eval_step(params, model_state, bags):
                     logits, attn = self.model.apply(
@@ -318,7 +330,25 @@ class Trainer:
                     return jax.nn.softmax(logits, axis=-1), logits, None
 
             self._eval_fns[key] = jax.jit(eval_step)
+            while len(self._eval_fns) > max(1, self.cfg.eval_fn_cache):
+                self._eval_fns.popitem(last=False)
         return self._eval_fns[key]
+
+    def _staged_batches(self, batches, with_labels: bool):
+        """Wrap a host-batch iterator with device staging (data/pipeline.py
+        prefetch): a background thread device_puts ``bags``/``labels`` so the
+        H2D transfer of batch k+1 overlaps step k (the reference's DALI
+        double-buffering, ``dali_dataloader.py:26-255``).
+        ``cfg.prefetch_batches=0`` degrades to the synchronous path."""
+        if with_labels:
+            stage = lambda b: (b, jnp.asarray(b.bags), jnp.asarray(b.labels))
+        else:
+            stage = lambda b: (b, jnp.asarray(b.bags), None)
+        if self.cfg.prefetch_batches:
+            from transmil_deepgraft_tpu.data.pipeline import prefetch
+
+            return prefetch(batches, size=self.cfg.prefetch_batches, transform=stage)
+        return map(stage, batches)
 
     # ------------------------------------------------------------------ train
     def fit(self) -> dict[str, float]:
@@ -348,11 +378,12 @@ class Trainer:
             # continues the exact rng sequence a straight-through run would use
             rng = jax.random.fold_in(base_rng, epoch)
             losses, train_probs, train_labels = [], [], []
-            for step_i, batch in enumerate(self.dm.train_batches(epoch)):
+            staged = self._staged_batches(self.dm.train_batches(epoch), with_labels=True)
+            for step_i, (batch, bags, labels) in enumerate(staged):
                 rng, step_rng = jax.random.split(rng)
                 self.params, self.opt_state, loss, probs = self._train_step(
                     self.params, self.model_state, self.opt_state,
-                    jnp.asarray(batch.bags), jnp.asarray(batch.labels), step_rng,
+                    bags, labels, step_rng,
                 )
                 losses.append(loss)
                 train_probs.append(np.asarray(probs))
@@ -490,9 +521,13 @@ class Trainer:
             and hasattr(self.model, "attn_query")
         )
         all_probs, all_logits, all_labels, names, patients = [], [], [], [], []
-        for batch in self.dm.eval_batches(mode, batch_size=self.cfg.eval_batch_size):
-            fn = self._eval_fn(batch.bags.shape[1:], with_attn=with_attn)
-            probs, logits, attn_rows = fn(self.params, self.model_state, jnp.asarray(batch.bags))
+        staged = self._staged_batches(
+            self.dm.eval_batches(mode, batch_size=self.cfg.eval_batch_size),
+            with_labels=False,
+        )
+        for batch, bags, _ in staged:
+            fn = self._eval_fn(bags.shape[1:], with_attn=with_attn)
+            probs, logits, attn_rows = fn(self.params, self.model_state, bags)
             all_probs.append(np.asarray(probs))
             all_logits.append(np.asarray(logits))
             all_labels.append(batch.labels)
