@@ -130,3 +130,71 @@ def test_mixed_res_shared_resolution_and_miss_record(tmp_path):
     assert ds.names.count("b") == 1
     assert len(ds.mixed_res_missing) == 1 and "b" in ds.mixed_res_missing[0]
     assert ds.missing == []
+
+
+def test_loss_factory_full_reference_surface():
+    """Every name the reference factory resolves builds and yields a finite
+    scalar; names it rejects raise with a one-line reason (VERDICT r2 #7).
+    Ref: MyLoss/loss_factory.py:21-62."""
+    import jax.numpy as jnp
+
+    from transmil_deepgraft_tpu.train.losses import (
+        bce_with_logits,
+        create_loss,
+        dice_log_loss,
+        jaccard_loss,
+    )
+
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.standard_normal((6, 3)).astype(np.float32))
+    onehot = jnp.asarray(np.eye(3, dtype=np.float32)[rng.integers(0, 3, 6)])
+
+    names = [
+        "CrossEntropyLoss", "BCEWithLogitsLoss", "LabelSmoothingCrossEntropy",
+        "MSELoss", "L1Loss", "SmoothL1Loss", "focal", "reduced_focal",
+        "polyloss", "dice", "dice_log", "jaccard", "jaccard_log", "lovasz",
+        "bce+lovasz", "bce+jaccard", "bce+log_jaccard", "bce+log_dice",
+    ]
+    for name in names:
+        fn = create_loss(name)
+        val = float(fn(logits, onehot))
+        assert np.isfinite(val), (name, val)
+
+    # joint combos follow the reference JointLoss weights w1=1.0, w2=0.5
+    joint = create_loss("bce+log_dice")
+    expect = float(bce_with_logits(logits, onehot)) + 0.5 * float(
+        dice_log_loss(logits, onehot)
+    )
+    assert abs(float(joint(logits, onehot)) - expect) < 1e-6
+
+    # ref quirk preserved: jaccard_log IS the plain jaccard loss
+    assert create_loss("jaccard_log") is jaccard_loss
+
+    # segmentation-era modules the reference factory also rejects
+    for name in ("boundary", "hausdorff", "nd_topk"):
+        with pytest.raises(NotImplementedError, match="segmentation-era"):
+            create_loss(name)
+    with pytest.raises(KeyError, match="unknown loss"):
+        create_loss("NoSuchLoss")
+
+
+def test_loss_torch_parity_mse_smoothl1():
+    """nn.* names resolved like the reference (loss(logits, one_hot.float()))."""
+    torch = pytest.importorskip("torch")
+
+    import jax.numpy as jnp
+
+    from transmil_deepgraft_tpu.train.losses import create_loss
+
+    rng = np.random.default_rng(5)
+    logits = rng.standard_normal((5, 4)).astype(np.float32)
+    onehot = np.eye(4, dtype=np.float32)[rng.integers(0, 4, 5)]
+    tl, tt = torch.from_numpy(logits), torch.from_numpy(onehot)
+    for name, tfn in (
+        ("MSELoss", torch.nn.MSELoss()),
+        ("L1Loss", torch.nn.L1Loss()),
+        ("SmoothL1Loss", torch.nn.SmoothL1Loss()),
+    ):
+        ours = float(create_loss(name)(jnp.asarray(logits), jnp.asarray(onehot)))
+        ref = float(tfn(tl, tt))
+        assert abs(ours - ref) < 1e-6, (name, ours, ref)
