@@ -47,7 +47,11 @@ def _load_fixture(name: str):
     bag = data["bag"]
     outs = {k[4:]: data[k] for k in data.files if k.startswith("out:")}
     params = _unflatten({k[6:]: data[k] for k in data.files if k.startswith("param:")})
-    return bag, outs, {"params": params}
+    variables = {"params": params}
+    stats = _unflatten({k[5:]: data[k] for k in data.files if k.startswith("stat:")})
+    if stats:
+        variables["batch_stats"] = stats  # BN-carrying heads (ctmil)
+    return bag, outs, variables
 
 
 def _assert_outputs_match(name, expected, got):
@@ -91,7 +95,7 @@ def test_frozen_fixture_parity(name):
     _assert_outputs_match(name, expected, got)
 
 
-@pytest.mark.parametrize("name", ["transmil_2048", "attmil_2048", "clam_mb", "dtfd", "chowder", "transformer_mil_2048"])
+@pytest.mark.parametrize("name", ["transmil_2048", "attmil_2048", "clam_mb", "dtfd", "chowder", "transformer_mil_2048", "mdmil", "ctmil"])
 def test_live_torch_parity(name):
     pytest.importorskip("torch")
     bag = builders.make_bag(name, seed=7)

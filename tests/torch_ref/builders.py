@@ -15,17 +15,22 @@ from transmil_deepgraft_tpu.models.clam import CLAM_MB as FlaxCLAM_MB
 from transmil_deepgraft_tpu.models.clam import CLAM_SB as FlaxCLAM_SB
 from transmil_deepgraft_tpu.models.chowder import Chowder as FlaxChowder
 from transmil_deepgraft_tpu.models.transformer_mil import TransformerMIL as FlaxTransformerMIL
+from transmil_deepgraft_tpu.models.ctmil import CTMIL as FlaxCTMIL
 from transmil_deepgraft_tpu.models.dtfd import DTFDMIL as FlaxDTFD
+from transmil_deepgraft_tpu.models.mdmil import MDMIL as FlaxMDMIL
 from transmil_deepgraft_tpu.utils.torch_weights import (
     convert_attmil_state_dict,
     convert_chowder_state_dict,
     convert_clam_state_dict,
+    convert_ctmil_state_dict,
     convert_dtfd_state_dict,
+    convert_mdmil_state_dict,
     convert_transformer_mil_state_dict,
     convert_transmil_state_dict,
 )
 
-# name -> (bag_n, in_features, n_classes)
+# name -> (bag_n, in_features, n_classes); for ctmil bag_n is the GRID SIDE
+# of its (side, side, in_features) spatial feature volume
 CONFIGS = {
     "transmil_2048": (237, 2048, 2),
     "transmil_1024": (150, 1024, 3),
@@ -39,12 +44,16 @@ CONFIGS = {
     "chowder": (120, 512, 2),
     "transformer_mil_2048": (140, 2048, 2),
     "transformer_mil_1024": (96, 1024, 3),
+    "mdmil": (130, 1024, 2),
+    "ctmil": (12, 1024, 2),
 }
 
 
 def make_bag(name: str, seed: int = 0) -> np.ndarray:
     n, in_features, _ = CONFIGS[name]
     rng = np.random.default_rng(seed)
+    if name == "ctmil":  # spatial feature volume (H, W, C)
+        return rng.standard_normal((n, n, in_features)).astype(np.float32)
     return rng.standard_normal((n, in_features)).astype(np.float32)
 
 
@@ -70,6 +79,20 @@ def build_torch(name: str, seed: int = 0):
         model = T.Chowder(n_classes=n_classes, features=in_features)
     elif name.startswith("transformer_mil"):
         model = T.TransformerMIL(n_classes=n_classes, in_features=in_features)
+    elif name == "mdmil":
+        model = T.MDMIL(n_classes=n_classes, in_features=in_features)
+    elif name == "ctmil":
+        model = T.CTMIL(n_classes=n_classes, in_features=in_features)
+        # non-trivial BN running stats so the converter's batch_stats path
+        # is actually exercised
+        g = np.random.default_rng(seed + 1)
+        with torch.no_grad():
+            for mod in model.modules():
+                if isinstance(mod, torch.nn.BatchNorm2d):
+                    mod.running_mean.copy_(torch.from_numpy(
+                        0.05 * g.standard_normal(mod.num_features).astype(np.float32)))
+                    mod.running_var.copy_(torch.from_numpy(
+                        (1.0 + 0.1 * g.random(mod.num_features)).astype(np.float32)))
     else:
         raise KeyError(name)
     return model.eval()
@@ -92,6 +115,10 @@ def build_flax(name: str):
         return FlaxChowder(n_classes=n_classes, in_features=in_features)
     if name.startswith("transformer_mil"):
         return FlaxTransformerMIL(n_classes=n_classes, in_features=in_features)
+    if name == "mdmil":
+        return FlaxMDMIL(n_classes=n_classes, in_features=in_features)
+    if name == "ctmil":
+        return FlaxCTMIL(n_classes=n_classes, in_features=in_features)
     raise KeyError(name)
 
 
@@ -109,6 +136,10 @@ def convert(name: str, state_dict) -> dict:
         return convert_chowder_state_dict(state_dict)
     if name.startswith("transformer_mil"):
         return convert_transformer_mil_state_dict(state_dict, in_features=in_features)
+    if name == "mdmil":
+        return convert_mdmil_state_dict(state_dict)
+    if name == "ctmil":
+        return convert_ctmil_state_dict(state_dict)
     raise KeyError(name)
 
 
@@ -137,6 +168,20 @@ def torch_forward(name: str, model, bag: np.ndarray) -> dict:
         if name == "chowder":
             logits, _ = model(x[None])
             return {"logits": logits.numpy()}
+        if name == "mdmil":
+            logits, (attn, padding) = model(x, return_attn=True)
+            n = bag.shape[0]
+            # MDMIL exports the TRUE cls row (ref MDMIL.py __main__:
+            # attn[:, :, 0, :]; cls sits at index `padding` after the
+            # landmark front-pad)
+            return {
+                "logits": logits.numpy(),
+                "attn_row": attn[0, :, padding, :].numpy(),
+                "tile_scores": attn[0, :, padding, padding + 1: padding + 1 + n].numpy(),
+            }
+        if name == "ctmil":
+            vol = x.permute(2, 0, 1).unsqueeze(0)  # (H, W, C) -> (1, C, H, W)
+            return {"logits": model(vol).numpy()}
         return {"logits": model(x).numpy()}
 
 
@@ -165,5 +210,12 @@ def flax_forward(name: str, flax_model, variables: dict, bag: np.ndarray) -> dic
     if name == "dtfd":
         sub, slide = flax_model.apply(variables, x, deterministic=True)
         return {"logits": np.asarray(slide), "sub_logits": np.asarray(sub)}
+    if name == "mdmil":
+        logits, attn = flax_model.apply(variables, x, deterministic=True, return_attn=True)
+        return {
+            "logits": np.asarray(logits),
+            "attn_row": np.asarray(attn.row[0]),
+            "tile_scores": np.asarray(attn.tile_scores()[0]),
+        }
     logits = flax_model.apply(variables, x, deterministic=True)
     return {"logits": np.asarray(logits)}

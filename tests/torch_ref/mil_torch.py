@@ -588,3 +588,103 @@ class TransformerMIL(nn.Module):
         x = self.transformer2(x)
         x = self.norm(x[:, 0])
         return self._fc2(x)
+
+
+# --------------------------------------------------------------------------- #
+# MDMIL + CTMIL (the two heads parity-blocked on reference bugs; fixtures
+# freeze the CORRECTED semantics on both sides — PARITY deviations 4 / 4b)
+# --------------------------------------------------------------------------- #
+
+
+class MDMIL(nn.Module):
+    """MDMIL head (ref ``models/MDMIL.py:60-115``): the TransMIL pipeline with
+    a single Linear(1024->512)+GELU input projection, ``_fc2`` classifier,
+    cls-row attention export. The reference's IQGM stub (``MDMIL.py:47-58``,
+    references undefined ``self``) is not mirrored (documented deviation 4)."""
+
+    def __init__(self, n_classes: int, in_features: int = 1024, out_features: int = 512):
+        super().__init__()
+        self.pos_layer = PPEG(dim=out_features)
+        self._fc1 = nn.Sequential(nn.Linear(in_features, out_features), nn.GELU())
+        self.cls_token = nn.Parameter(torch.randn(1, 1, out_features))
+        self.layer1 = TransLayer(dim=out_features)
+        self.layer2 = TransLayer(dim=out_features)
+        self.norm = nn.LayerNorm(out_features)
+        self._fc2 = nn.Linear(out_features, n_classes)
+        self.m = out_features // 2
+
+    def forward(self, x: torch.Tensor, return_attn: bool = False):
+        if x.dim() == 2:
+            x = x.unsqueeze(0)
+        h = self._fc1(x.float())
+        n = h.shape[1]
+        side = int(math.ceil(math.sqrt(n)))
+        add = side * side - n
+        h = torch.cat([h, h[:, :add]], dim=1)
+        b = h.shape[0]
+        h = torch.cat([self.cls_token.expand(b, -1, -1), h], dim=1)
+        h, _ = self.layer1(h)
+        h = self.pos_layer(h, side, side)
+        seq = h.shape[1]
+        padding = (self.m - seq % self.m) % self.m
+        h, attn2 = self.layer2(h)
+        h = self.norm(h)[:, 0]
+        logits = self._fc2(h)
+        if return_attn:
+            return logits, (attn2, padding)
+        return logits
+
+
+class CTMIL(nn.Module):
+    """Conv-tokenized TransMIL (ref ``models/CTMIL.py:74-165``) with the two
+    documented deviations applied on THIS side so the fixture freezes the
+    corrected semantics in both frameworks (PARITY deviation 4b):
+
+    - tokens are (H*W, C) via permute+reshape, not the reference's NCHW
+      ``.view`` memory reinterpretation that scrambles channels across
+      positions (``CTMIL.py:144``);
+    - no hardcoded ``.cuda()`` (the reference forward cannot run on CPU).
+
+    The reference's dead ``_fc1`` weights (declared, never called in forward)
+    ARE declared so the state dict carries them and the converter must skip
+    them like it would on a real checkpoint."""
+
+    def __init__(self, n_classes: int, in_features: int = 1024, out_features: int = 512):
+        super().__init__()
+        self.pos_layer_0 = PPEG(dim=out_features)
+        half = in_features // 2
+        self.conv1 = nn.Sequential(
+            nn.Conv2d(in_features, half, 3, 1, 1, bias=False),
+            nn.BatchNorm2d(half), nn.GELU(), nn.MaxPool2d(3, 2, 1),
+        )
+        self.conv2 = nn.Sequential(
+            nn.Conv2d(half, out_features, 3, 1, 1, bias=False),
+            nn.BatchNorm2d(out_features), nn.GELU(), nn.MaxPool2d(3, 2, 1),
+        )
+        if in_features == 1024:  # dead weights, as in the reference
+            self._fc1 = nn.Sequential(
+                nn.Linear(in_features, out_features), nn.GELU(),
+                nn.Dropout(0.6), nn.LayerNorm(out_features),
+            )
+        self.cls_token = nn.Parameter(torch.randn(1, 1, out_features))
+        self.layer1 = TransLayer(dim=out_features)
+        self.layer2 = TransLayer(dim=out_features)
+        self.norm = nn.LayerNorm(out_features)
+        self._fc2 = nn.Linear(out_features, n_classes)
+
+    def forward(self, x: torch.Tensor):
+        # x: (B, C, H, W) feature volume
+        h = self.conv2(self.conv1(x))
+        c = h.shape[1]
+        h = h.permute(0, 2, 3, 1).reshape(h.shape[0], -1, c)  # (B, H*W, C)
+        n = h.shape[1]
+        side = int(math.ceil(math.sqrt(n)))
+        add = side * side - n
+        h = torch.cat([h, h[:, :add]], dim=1)
+        b = h.shape[0]
+        h = torch.cat([self.cls_token.expand(b, -1, -1), h], dim=1)
+        h, _ = self.layer1(h)
+        h = self.pos_layer_0(h, side, side)
+        h, _ = self.layer2(h)
+        h = self.norm(h)[:, 0]
+        return self._fc2(h)

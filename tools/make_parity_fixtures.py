@@ -53,6 +53,8 @@ def main() -> None:
             payload[f"out:{k}"] = np.asarray(v)
         for k, v in flatten_params(variables["params"]).items():
             payload[f"param:{k}"] = v
+        for k, v in flatten_params(variables.get("batch_stats", {})).items():
+            payload[f"stat:{k}"] = v
 
         path = out_dir / f"parity_{name}.npz"
         np.savez_compressed(path, **payload)

@@ -134,42 +134,12 @@ def convert_transmil_state_dict(state_dict: Mapping[str, Any], in_features: int 
         lin("fc1_0", "_fc1.0")
 
     p["cls_token"] = _np(sd["cls_token"])
-
-    for layer in ("layer1", "layer2"):
-        ln(f"{layer}.norm", f"{layer}.norm")
-        attn: dict = {}
-        attn["to_qkv"] = {"kernel": _np(sd[f"{layer}.attn.to_qkv.weight"]).T}
-        attn["to_out"] = {
-            "kernel": _np(sd[f"{layer}.attn.to_out.0.weight"]).T,
-            "bias": _np(sd[f"{layer}.attn.to_out.0.bias"]),
-        }
-        # torch res_conv weight (heads, 1, ks, 1) -> flax param (ks, heads)
-        rc = _np(sd[f"{layer}.attn.res_conv.weight"])
-        attn["res_conv"] = rc[:, 0, :, 0].T
-        p[f"{layer}.attn"] = attn
-
-    pos: dict = {}
-    for tname, fname in (("proj", "proj"), ("proj1", "proj1"), ("proj2", "proj2")):
-        w = _np(sd[f"pos_layer.{tname}.weight"])  # (C, 1, k, k)
-        pos[fname] = w.transpose(2, 3, 1, 0)  # (k, k, 1, C)
-        pos[f"{fname}_bias"] = _np(sd[f"pos_layer.{tname}.bias"])
-    p["pos_layer"] = pos
-
+    _map_translayer(sd, p, "layer1")
+    _map_translayer(sd, p, "layer2")
+    _map_ppeg(sd, p, "pos_layer")
     ln("norm", "norm")
     lin("fc", "_fc")
-
-    # nest dotted keys (merging shared prefixes like layer1.norm / layer1.attn)
-    nested: dict = {}
-    for k, v in p.items():
-        parts = k.split(".")
-        node = nested
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
-        if parts[-1] in node and isinstance(node[parts[-1]], dict) and isinstance(v, dict):
-            node[parts[-1]].update(v)
-        else:
-            node[parts[-1]] = v
-    return {"params": nested}
+    return {"params": _nest(p)}
 
 
 def _gated_attention_params(sd: Mapping[str, Any], prefix: str) -> dict:
@@ -183,6 +153,98 @@ def _gated_attention_params(sd: Mapping[str, Any], prefix: str) -> dict:
     p["attention_weights"] = _np(sd[f"{prefix}attention_weights.weight"]).T
     p["attention_weights_bias"] = _np(sd[f"{prefix}attention_weights.bias"])
     return p
+
+
+def _map_translayer(sd: Mapping[str, Any], p: dict, layer: str) -> None:
+    """Map one reference TransLayer (norm + NystromAttention) into ``p``."""
+    p[f"{layer}.norm"] = {
+        "scale": _np(sd[f"{layer}.norm.weight"]), "bias": _np(sd[f"{layer}.norm.bias"]),
+    }
+    attn: dict = {}
+    attn["to_qkv"] = {"kernel": _np(sd[f"{layer}.attn.to_qkv.weight"]).T}
+    attn["to_out"] = {
+        "kernel": _np(sd[f"{layer}.attn.to_out.0.weight"]).T,
+        "bias": _np(sd[f"{layer}.attn.to_out.0.bias"]),
+    }
+    # torch res_conv weight (heads, 1, ks, 1) -> flax param (ks, heads)
+    rc = _np(sd[f"{layer}.attn.res_conv.weight"])
+    attn["res_conv"] = rc[:, 0, :, 0].T
+    p[f"{layer}.attn"] = attn
+
+
+def _map_ppeg(sd: Mapping[str, Any], p: dict, src: str, dst: str = "pos_layer") -> None:
+    """Map a reference PPEG (proj/proj1/proj2 depthwise convs) into ``p``."""
+    pos: dict = {}
+    for name in ("proj", "proj1", "proj2"):
+        w = _np(sd[f"{src}.{name}.weight"])  # (C, 1, k, k)
+        pos[name] = w.transpose(2, 3, 1, 0)  # (k, k, 1, C)
+        pos[f"{name}_bias"] = _np(sd[f"{src}.{name}.bias"])
+    p[dst] = pos
+
+
+def _nest(flat: Mapping[str, Any]) -> dict:
+    """Nest dotted keys, merging shared prefixes (layer1.norm / layer1.attn)."""
+    nested: dict = {}
+    for k, v in flat.items():
+        parts = k.split(".")
+        node = nested
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        if parts[-1] in node and isinstance(node[parts[-1]], dict) and isinstance(v, dict):
+            node[parts[-1]].update(v)
+        else:
+            node[parts[-1]] = v
+    return nested
+
+
+def convert_mdmil_state_dict(state_dict: Mapping[str, Any]) -> dict:
+    """torch MDMIL (ref ``models/MDMIL.py:60-115``) -> flax
+    :class:`transmil_deepgraft_tpu.models.mdmil.MDMIL` params.
+
+    Key layout: ``_fc1.0`` Linear, ``cls_token``, ``layer{1,2}`` TransLayers,
+    ``pos_layer`` PPEG, ``norm`` LN, ``_fc2`` classifier."""
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    p: dict = {
+        "fc1": {"kernel": _np(sd["_fc1.0.weight"]).T, "bias": _np(sd["_fc1.0.bias"])},
+        "cls_token": _np(sd["cls_token"]),
+        "norm": {"scale": _np(sd["norm.weight"]), "bias": _np(sd["norm.bias"])},
+        "fc2": {"kernel": _np(sd["_fc2.weight"]).T, "bias": _np(sd["_fc2.bias"])},
+    }
+    _map_translayer(sd, p, "layer1")
+    _map_translayer(sd, p, "layer2")
+    _map_ppeg(sd, p, "pos_layer")
+    return {"params": _nest(p)}
+
+
+def convert_ctmil_state_dict(state_dict: Mapping[str, Any]) -> dict:
+    """torch CTMIL (ref ``models/CTMIL.py:74-165``) -> flax
+    :class:`transmil_deepgraft_tpu.models.ctmil.CTMIL` variables.
+
+    Conv tokenizer Sequentials (``conv{1,2}.0`` Conv2d + ``.1`` BatchNorm2d),
+    ``pos_layer_0`` PPEG, TransLayers, ``_fc2``. The reference's dead
+    ``_fc1.*`` weights (declared but never used by its forward) are skipped.
+    Returns ``{'params': ..., 'batch_stats': ...}`` (BN running stats)."""
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    p: dict = {
+        "cls_token": _np(sd["cls_token"]),
+        "norm": {"scale": _np(sd["norm.weight"]), "bias": _np(sd["norm.bias"])},
+        "fc": {"kernel": _np(sd["_fc2.weight"]).T, "bias": _np(sd["_fc2.bias"])},
+    }
+    stats: dict = {}
+    for i in (1, 2):
+        w = _np(sd[f"conv{i}.0.weight"])  # (O, I, kh, kw)
+        p[f"conv{i}"] = {"kernel": w.transpose(2, 3, 1, 0)}
+        p[f"bn{i}"] = {
+            "scale": _np(sd[f"conv{i}.1.weight"]), "bias": _np(sd[f"conv{i}.1.bias"]),
+        }
+        stats[f"bn{i}"] = {
+            "mean": _np(sd[f"conv{i}.1.running_mean"]),
+            "var": _np(sd[f"conv{i}.1.running_var"]),
+        }
+    _map_translayer(sd, p, "layer1")
+    _map_translayer(sd, p, "layer2")
+    _map_ppeg(sd, p, "pos_layer_0", dst="pos_layer")
+    return {"params": _nest(p), "batch_stats": stats}
 
 
 def convert_attmil_state_dict(state_dict: Mapping[str, Any], in_features: int = 2048) -> dict:
