@@ -101,7 +101,7 @@ class MILDataModule:
         fine_tune: bool = False,
         dataset_name: str = "custom",
         fold: int = 0,
-        variant: str = "features",  # features | spatial | images | tiles
+        variant: str = "features",  # features | spatial | images | tiles | image_bags
         mixed_res_dirs: list | None = None,  # extra train-res roots (ref feature_dataloader_mixed)
         tile_size: int = 224,
         resample_val: bool = False,  # reference quirk: ImbalancedSampler on val
@@ -187,6 +187,17 @@ class MILDataModule:
                 self.data_dir, self.label_path, actual_mode, self.n_classes,
                 slide_patient_path=self.slide_patient_path,
                 feature_extractor=self.feature_extractor,
+            )
+        if self.variant == "image_bags":
+            # legacy raw-image bags (.hdf5/.npy/.zarr tile stacks, ref
+            # custom_dataloader.py / custom_npy_dataloader.py /
+            # custom_zarr_dataloader.py)
+            from transmil_deepgraft_tpu.data.image_bags import ImageBagDataset
+
+            return ImageBagDataset(
+                self.data_dir, self.label_path, actual_mode, self.n_classes,
+                slide_patient_path=self.slide_patient_path,
+                bag_size=self.max_bag_size,
             )
         if self.variant in ("images", "tiles"):
             from transmil_deepgraft_tpu.data.jpg_bags import JPGMILDataset, JPGTileDataset
