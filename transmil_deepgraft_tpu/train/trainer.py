@@ -87,6 +87,10 @@ class TrainerConfig:
     # recently used entries are dropped beyond this (eval_pad='exact' over a
     # real cohort can see hundreds of distinct lengths)
     eval_fn_cache: int = 256
+    # train-stage dashboard figures (ref model_interface.py:385-430): val
+    # ROC/PR rendered every val epoch, train confusion every 10 train epochs,
+    # under <log_dir>/figures/
+    epoch_figures: bool = True
 
 
 def mutable_lr_scale() -> optax.GradientTransformation:
@@ -405,6 +409,7 @@ class Trainer:
             train_auc = auroc(tp, tl, self.n_classes)
 
             val = self.evaluate("val")
+            self._epoch_figures(epoch, val, tp, tl)
             metrics = {
                 "loss": train_loss,
                 "train_auc": train_auc,
@@ -619,6 +624,37 @@ class Trainer:
             self._save_results(agg, mode=stage_name or mode)
             self._save_topk_patients(agg, thresholds, stage=stage_name or mode)
         return result
+
+    def _epoch_figures(self, epoch: int, val: dict, train_probs, train_labels) -> None:
+        """Train-stage dashboard figures (ref ``model_interface.py:385-430``):
+        per-val-epoch patient ROC/PR; per-10-train-epoch confusion."""
+        if not self.cfg.epoch_figures:
+            return
+        try:
+            from transmil_deepgraft_tpu.utils.plots import (
+                plot_confusion_matrix,
+                plot_pr_curves,
+                plot_roc_curves,
+            )
+
+            figs = self.log_dir / "figures"
+            figs.mkdir(parents=True, exist_ok=True)
+            agg = val["aggregate"]
+            plot_roc_curves(
+                agg.scores, agg.targets, self.n_classes,
+                figs / f"val_patient_roc_epoch{epoch:03d}", self.cfg.task,
+            )
+            plot_pr_curves(
+                agg.scores, agg.targets, self.n_classes,
+                figs / f"val_patient_pr_epoch{epoch:03d}", self.cfg.task,
+            )
+            if (epoch + 1) % 10 == 0:  # ref: confusion every 10 train epochs
+                plot_confusion_matrix(
+                    train_probs, train_labels, self.n_classes,
+                    figs / f"train_confusion_epoch{epoch:03d}", self.cfg.task,
+                )
+        except Exception as e:  # figures must never fail training
+            print(f"[trainer] epoch figure export skipped: {e}")
 
     def test(self) -> dict:
         result = self.evaluate("test", save_results=True, stage_name="test")
