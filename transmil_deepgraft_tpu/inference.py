@@ -43,10 +43,20 @@ class SlideInferencePipeline:
         chunk: int = 128,
         fused_backbone: bool = False,
         fused_t_cfg: tuple = (1, 2, 4, 4, 4, 4, 4),
+        mesh=None,
+        mesh_axis: str = "dp",
     ) -> None:
+        """``mesh``: a ``jax.sharding.Mesh`` turns the embed stage
+        tile-parallel (``parallel/tile_parallel``): each dispatch shards
+        ``chunk`` tiles PER CHIP over ``mesh_axis``, params replicated,
+        features gathered — the embed stage scales ~linearly over ICI
+        (tiles are independent), which is how the <1 s/slide target is met
+        at 2-3 chips (BENCHMARKS.md projection table)."""
         self.head = head_model
         self.hv = head_variables
-        self.chunk = chunk
+        self.mesh = mesh
+        n_shards = 1 if mesh is None else mesh.shape[mesh_axis]
+        self.chunk = chunk * n_shards
 
         if calib_tiles is not None:
             from transmil_deepgraft_tpu.models.resnet_int8 import (
@@ -57,6 +67,12 @@ class SlideInferencePipeline:
             self._q = build_qresnet50(
                 backbone_variables, calib_tiles, truncate_after=truncate_after
             )
+            if fused_backbone and mesh is not None:
+                raise ValueError(
+                    "fused_backbone (experimental Pallas kernels) does not "
+                    "compose with tile-parallel mesh embedding; the XLA int8 "
+                    "path is the production multi-chip path"
+                )
             if fused_backbone:
                 # fully-fused Pallas stage kernels (ops/pallas/qstage_kernel):
                 # bit-exact vs apply_qresnet50; every t in fused_t_cfg must
@@ -89,7 +105,15 @@ class SlideInferencePipeline:
             embed_core = lambda v, t: model.apply(v, t.astype(jnp.bfloat16)).astype(jnp.float32)
             self._embed_args = (bf16_vars,)
 
-        self._embed = jax.jit(embed_core)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P(mesh_axis))
+            jit_kwargs = {"in_shardings": (repl, data), "out_shardings": repl}
+        else:
+            jit_kwargs = {}
+        self._embed = jax.jit(embed_core, **jit_kwargs)
         # uint8 serving path: raw u8 tiles ship 4x less host->device data;
         # ImageNet normalization runs ON DEVICE (data/native_tiles.load_tiles_u8
         # produces the matching raw tiles)
@@ -98,7 +122,8 @@ class SlideInferencePipeline:
         self._embed_u8 = jax.jit(
             lambda *a: embed_core(
                 *a[:-1], (a[-1].astype(jnp.float32) / 255.0 - _mean) / _std
-            )
+            ),
+            **jit_kwargs,
         )
 
         self._head_fwd = jax.jit(
