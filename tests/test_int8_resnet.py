@@ -81,3 +81,29 @@ def test_int8_downstream_logit_shift(fp32_model_and_vars, rng):
     ref_logits = np.asarray(head.apply(hv, jnp.asarray(ref_feats[None])))
     q_logits = np.asarray(head.apply(hv, jnp.asarray(q_feats[None])))
     assert np.abs(ref_logits - q_logits).max() < 0.05, (ref_logits, q_logits)
+
+
+def test_bf16_stage1_mixed_fidelity(fp32_model_and_vars, rng):
+    """Mixed bf16-stage1 + int8-rest variant: at least as faithful to fp32 as
+    the full-int8 path (stage1 runs in bf16; stage2 input code shares the
+    calibrated scale)."""
+    from transmil_deepgraft_tpu.models.resnet_int8 import (
+        apply_qresnet50_bf16s1,
+        build_bf16_stage1,
+    )
+
+    model, v = fp32_model_and_vars
+    x = rng.standard_normal((4, 64, 64, 3)).astype(np.float32)
+    ref = np.asarray(model.apply(v, jnp.asarray(x)))
+    calib = x[:2]
+    q = build_qresnet50(v, calib)
+    s1 = build_bf16_stage1(v, calib)
+
+    def cos(a, b):
+        return ((a * b).sum(-1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12)).min()
+
+    full_int8 = np.asarray(jax.jit(apply_qresnet50)(q, jnp.asarray(x)))
+    mixed = np.asarray(jax.jit(apply_qresnet50_bf16s1)(q, s1, jnp.asarray(x)))
+    assert mixed.shape == ref.shape
+    assert cos(ref, mixed) >= cos(ref, full_int8) - 1e-4, (cos(ref, mixed), cos(ref, full_int8))
+    assert cos(ref, mixed) > 0.999

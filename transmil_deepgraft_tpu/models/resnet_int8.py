@@ -459,6 +459,106 @@ def apply_stage_wpacked_xla(x_q: jax.Array, packed_blocks) -> jax.Array:
     return out.reshape(n, hh, ww, out.shape[-1] // 2)
 
 
+class BF16Stage1(NamedTuple):
+    """Folded bf16 stem+stage1 for the mixed-precision backbone variant.
+
+    Motivation (BENCHMARKS.md stage budget): stem+stage1 is MXU-SHAPE-bound
+    at C=64 — int8 only reaches ~23% of int8 peak there, so the 2x
+    precision speedup never materializes; bf16 runs the same shapes at a
+    higher fraction of its (halved) peak. Stages 2-4 stay int8 (~90-107% of
+    peak). The stage1 output quantizes ONCE into the exact int8 code
+    stage2 expects (same calibrated scale as ``build_qresnet50``), so
+    stages 2-4 are bit-identical to the full-int8 path given the same
+    stage2 input codes — and stage1 itself is MORE accurate than int8."""
+
+    stem_k: jax.Array  # bf16 (7,7,3,64) BN-folded stem kernel
+    stem_b: jax.Array  # (64,) f32
+    convs: tuple  # per stage1 block: (k1,b1,k2,b2,k3,b3[,kd,bd])
+    out_scale: jax.Array  # () f32: s(layer2_0.conv1) — stage2's input scale
+
+
+jax.tree_util.register_pytree_node(
+    BF16Stage1,
+    lambda s: ((s.stem_k, s.stem_b, s.convs, s.out_scale), None),
+    lambda _, c: BF16Stage1(*c),
+)
+
+
+def build_bf16_stage1(variables: dict, calib_tiles: np.ndarray) -> BF16Stage1:
+    """Companion to ``build_qresnet50`` (SAME calib tiles → identical stage2
+    input scale)."""
+    folded = _fold_all(variables, 4)
+    record = _calibrate(folded, calib_tiles, 4)
+    s_out = max(record["layer2_0.conv1"], 1e-12) / 255.0
+    convs = []
+    for i in range(3):
+        name = f"layer1_{i}"
+        parts = []
+        for conv in ("conv1", "conv2", "conv3"):
+            k, b = folded[f"{name}.{conv}"]
+            parts += [jnp.asarray(np.asarray(k), jnp.bfloat16),
+                      jnp.asarray(np.asarray(b), jnp.float32)]
+        if f"{name}.downsample" in folded:
+            kd, bd = folded[f"{name}.downsample"]
+            parts += [jnp.asarray(np.asarray(kd), jnp.bfloat16),
+                      jnp.asarray(np.asarray(bd), jnp.float32)]
+        convs.append(tuple(parts))
+    k, b = folded["conv1"]
+    return BF16Stage1(
+        stem_k=jnp.asarray(np.asarray(k), jnp.bfloat16),
+        stem_b=jnp.asarray(np.asarray(b), jnp.float32),
+        convs=tuple(convs),
+        out_scale=jnp.asarray(s_out, jnp.float32),
+    )
+
+
+def _conv_bf16(x, k, stride=1, padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), k, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def apply_qresnet50_bf16s1(q: QResNet50, s1: BF16Stage1, tiles: jax.Array) -> jax.Array:
+    """Mixed-precision forward: bf16 stem+stage1, int8 stages 2-4."""
+    h = jax.lax.conv_general_dilated(
+        tiles.astype(jnp.bfloat16), s1.stem_k, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    h = jax.nn.relu(h + s1.stem_b)
+    h = jax.lax.reduce_window(
+        h, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    for parts in s1.convs:
+        k1, b1, k2, b2, k3, b3 = parts[:6]
+        y = jax.nn.relu(_conv_bf16(h, k1) + b1)
+        y = jax.nn.relu(_conv_bf16(y, k2) + b2)
+        y = _conv_bf16(y, k3) + b3
+        if len(parts) == 8:
+            idn = _conv_bf16(h, parts[6]) + parts[7]
+        else:
+            idn = h
+        h = jax.nn.relu(y + idn)
+    # one quantization into stage2's exact input code (zero point -128)
+    out_q = jnp.clip(jnp.round(h / s1.out_scale) - 128.0, -128, 127).astype(jnp.int8)
+    plan = list(_block_plan(q.truncate_after))
+    for blk, (_, stride, has_ds) in zip(q.blocks[3:], plan[3:]):
+        hh = _rq(_conv_q(out_q, blk.w1), blk.m1, blk.z1)
+        hh = jnp.pad(hh, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-128)
+        hh = _rq(_conv_q(hh, blk.w2, stride, padding="VALID"), blk.m2, blk.z2)
+        acc3 = _conv_q(hh, blk.w3).astype(jnp.float32) * blk.m3
+        if has_ds:
+            idn = _conv_q(out_q, blk.wd, stride).astype(jnp.float32) * blk.md
+        else:
+            idn = out_q.astype(jnp.float32) * blk.id_mult
+        out_q = jnp.clip(jnp.round(acc3 + idn + blk.z3), -128, 127).astype(jnp.int8)
+    pooled = jnp.mean(out_q.astype(jnp.float32), axis=(1, 2)) + 128.0
+    return pooled * q.final_scale
+
+
 def apply_qresnet50(q: QResNet50, tiles: jax.Array) -> jax.Array:
     """tiles (N, H, W, 3) f32/bf16 (H, W even) -> features (N, feature_dim) f32."""
     n, hh, ww, _ = tiles.shape
