@@ -134,8 +134,9 @@ def run_kfold(
     efn = jax.jit(ensemble_logits)
     probs_l, labels_l, names, patients = [], [], [], []
     tiles_dir = export_dir / "ensemble_topk_tiles"
-    for batch in dm.eval_batches("test"):
-        bags = jnp.asarray(batch.bags)
+    # device-staged batches (trainer prefetch thread): H2D overlaps the
+    # previous ensemble dispatch
+    for batch, bags, _ in trainer._staged_batches(dm.eval_batches("test"), with_labels=False):
         logits = efn(bags)
         probs_l.append(np.asarray(jax.nn.softmax(logits, axis=-1)))
         labels_l.append(batch.labels)
