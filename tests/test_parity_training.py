@@ -74,7 +74,7 @@ def _torch_run(batches, make_opt, detach_pinv: bool):
             opt.zero_grad()
             loss.backward()
             opt.step()
-            losses.append(float(loss))
+            losses.append(loss.item())
     finally:
         mil_torch.iter_pinv = orig_pinv
     return sd0, np.asarray(losses)
