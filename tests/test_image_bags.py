@@ -131,3 +131,15 @@ def test_datamodule_routing_and_training(tmp_path):
     assert batch.bags.dtype == np.float32
     ev = next(iter(dm.eval_batches("val")))
     assert ev.bags.ndim == 5
+
+
+def test_augmented_padded_bag_finite(tmp_path):
+    """Zero-pad (black) tiles survive the augmentation stack (HED jitter logs
+    etc.) without NaN and stay at -1 after normalization."""
+    label_path = _write_cohort(tmp_path / "bags")
+    ds = ImageBagDataset(
+        tmp_path / "bags", label_path, "train", 2, bag_size=8, augment=True
+    )
+    bag, _, _ = ds.get_item(2, np.random.default_rng(0))  # slide_2: 3 tiles
+    assert np.isfinite(bag).all()
+    np.testing.assert_allclose(bag[3:], -1.0)
