@@ -116,3 +116,43 @@ def test_inference_pipeline_mesh(int8_backbone):
     assert multi.chunk == 8  # chunk scales per chip
     probs_multi = multi.predict_slide(tiles)
     np.testing.assert_allclose(probs_multi, probs_single, atol=1e-5, rtol=0)
+
+
+def test_infer_cli_n_chips(tmp_path):
+    """cli/infer --n_chips runs the tile-parallel serving path end to end."""
+    from flax import serialization
+    from PIL import Image
+
+    from transmil_deepgraft_tpu.models import TransMIL
+    from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "BLOCKS"
+    d = root / "slideA"
+    d.mkdir(parents=True)
+    for t in range(8):
+        arr = rng.integers(0, 255, (TILE, TILE, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"tile_({t}-1).jpg")
+
+    backbone = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+    bb_vars = jax.device_get(
+        backbone.init({"params": jax.random.key(0)}, jnp.zeros((1, TILE, TILE, 3)))
+    )
+    (tmp_path / "bb.msgpack").write_bytes(serialization.msgpack_serialize(bb_vars))
+    head = TransMIL(n_classes=2, in_features=2048, out_features=32)
+    hv = jax.device_get(head.init({"params": jax.random.key(1)}, jnp.zeros((1, 4, 2048))))
+    (tmp_path / "head.msgpack").write_bytes(serialization.msgpack_serialize(hv))
+
+    from transmil_deepgraft_tpu.cli.infer import main
+
+    results = main([
+        "--tiles_root", str(root),
+        "--backbone_ckpt", str(tmp_path / "bb.msgpack"),
+        "--head_ckpt", str(tmp_path / "head.msgpack"),
+        "--quantize", "int8", "--out_features", "32",
+        "--chunk", "2", "--tile_size", str(TILE), "--topk", "2",
+        "--n_chips", "4",
+        "--out_dir", str(tmp_path / "out"),
+    ])
+    assert len(results) == 1
+    assert abs(sum(results[0]["probs"]) - 1.0) < 1e-3
