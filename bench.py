@@ -106,4 +106,13 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # the axon relay occasionally drops mid-run; retry a transient failure
+    # (fresh attempt, no cached numbers) before giving up
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(30)
