@@ -77,3 +77,36 @@ def test_cli_classic_tiles(jpg_cohort):
          "--fast_dev_run"]
     )
     assert np.isfinite(summary["test_auc"])
+
+
+@pytest.fixture
+def hdf5_image_cohort(tmp_path):
+    import h5py
+
+    rng = np.random.default_rng(0)
+    entries = []
+    for s in range(2):
+        imgs = rng.integers(0, 255, (3, 64, 64, 3)).astype(np.uint8)
+        if s % 2:
+            imgs = np.clip(imgs.astype(int) + 40, 0, 255).astype(np.uint8)
+        with h5py.File(tmp_path / f"sl{s}.hdf5", "w") as f:
+            for t in range(len(imgs)):
+                f[f"tile_{t}"] = imgs[t]
+        entries.append([f"sl{s}", s % 2])
+    (tmp_path / "labels.json").write_text(
+        json.dumps({"train": entries, "val": entries, "test": entries})
+    )
+    return tmp_path
+
+
+def test_cli_legacy_image_bags(hdf5_image_cohort):
+    """variant='image_bags' (legacy HDF5 raw-image bags) trains end to end
+    through the CLI with the backbone in the graph."""
+    from transmil_deepgraft_tpu.cli.train import main
+
+    cfg = _cfg(hdf5_image_cohort, "image_bags", "simple")
+    summary = main(
+        ["--stage", "train", "--config", str(cfg),
+         "--log_dir", str(hdf5_image_cohort / "run3"), "--fast_dev_run"]
+    )
+    assert np.isfinite(summary["test_auc"])
