@@ -43,6 +43,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--fine_tune", action="store_true")
     p.add_argument("--fast_dev_run", action="store_true")
     p.add_argument("--log_dir", default=None, help="override derived log path")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the stage into DIR "
+                        "(open in TensorBoard/xprof; utils/profiling.trace)")
     return p
 
 
@@ -216,6 +219,15 @@ def main(argv: list[str] | None = None) -> dict:
 
     trainer = build(cfg, log_dir=args.log_dir)
 
+    if args.profile:
+        from transmil_deepgraft_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            return _dispatch(args, cfg, trainer)
+    return _dispatch(args, cfg, trainer)
+
+
+def _dispatch(args, cfg, trainer) -> dict:
     if args.stage in ("train", "fine_tune") and cfg.Data.cross_val:
         # K-fold cross-validation + ensemble (ref train.py:256-260 + train_loop.py)
         from transmil_deepgraft_tpu.train.kfold import run_kfold
