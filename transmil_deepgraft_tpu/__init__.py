@@ -10,6 +10,6 @@ Everything stochastic takes explicit PRNG keys; all bag shapes are static (bucke
 padding) so every hot path compiles once per bucket and runs on the MXU.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from transmil_deepgraft_tpu.utils.config import Config, read_yaml  # noqa: F401
