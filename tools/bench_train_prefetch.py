@@ -24,6 +24,10 @@ import h5py
 import jax
 import numpy as np
 
+from transmil_deepgraft_tpu.utils.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from transmil_deepgraft_tpu.data.datamodule import MILDataModule
 from transmil_deepgraft_tpu.models import create_model
 from transmil_deepgraft_tpu.train.losses import create_loss
