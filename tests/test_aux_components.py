@@ -119,3 +119,30 @@ def test_efficientnet_backbone_factory():
     x = jnp.zeros((1, 64, 64, 3))
     variables = mdl.init(jax.random.key(0), x)
     assert mdl.apply(variables, x).shape == (1, 512)
+
+
+def test_prefetch_abandoned_consumer_releases_producer():
+    """Breaking out of a prefetch loop (fast_dev_run, mid-epoch exception)
+    must let the producer thread exit instead of blocking forever on the
+    full queue (round-3 review finding)."""
+    import threading
+    import time
+
+    from transmil_deepgraft_tpu.data.pipeline import prefetch
+
+    n_before = threading.active_count()
+    produced = []
+
+    def source():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    it = prefetch(source(), size=2)
+    assert next(it) == 0
+    it.close()  # what GC does when the loop breaks and the ref drops
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.01)
+    assert threading.active_count() <= n_before
+    assert len(produced) < 100  # producer stopped early, not drained

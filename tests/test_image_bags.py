@@ -143,3 +143,50 @@ def test_augmented_padded_bag_finite(tmp_path):
     bag, _, _ = ds.get_item(2, np.random.default_rng(0))  # slide_2: 3 tiles
     assert np.isfinite(bag).all()
     np.testing.assert_allclose(bag[3:], -1.0)
+
+
+def test_eval_coords_lengths_consistent(tmp_path):
+    """Fixed-size image bags must keep Batch.lengths == len(coords) == the
+    bag rows the model sees, or test-stage top-k attention export indexes
+    coords out of bounds (round-3 review finding)."""
+    from transmil_deepgraft_tpu.data.datamodule import MILDataModule
+
+    label_path = _write_cohort(tmp_path / "bags")
+    dm = MILDataModule(
+        str(tmp_path / "bags"), str(label_path), n_classes=2,
+        max_bag_size=8, batch_size=2, variant="image_bags",
+        use_imbalanced_sampler=False, seed=0,
+    )
+    batch = next(iter(dm.eval_batches("val")))
+    for j in range(len(batch.names)):
+        n = int(batch.lengths[j])
+        assert len(batch.coords[j]) == n == batch.bags.shape[1]
+        # the exact indexing the trainer's export_topk_tiles path performs
+        scores = np.linspace(1.0, 0.0, n, dtype=np.float32)
+        order = np.argsort(-scores)[:10]
+        _ = batch.coords[j][order]  # must not raise
+
+
+def test_pad_tiles_not_augmented(tmp_path):
+    """Augmentation runs on the real tiles only; black pad tiles skip the
+    scipy stack (they provably stay -1, so augmenting them is pure waste)."""
+    import transmil_deepgraft_tpu.data.image_bags as ib
+    from transmil_deepgraft_tpu.data import transforms
+
+    label_path = _write_cohort(tmp_path / "bags")
+    ds = ib.ImageBagDataset(
+        tmp_path / "bags", label_path, "train", 2, bag_size=8, augment=True
+    )
+    calls = []
+    orig = transforms.train_augment
+
+    def counting(tile, rng):
+        calls.append(1)
+        return orig(tile, rng)
+
+    transforms.train_augment = counting
+    try:
+        ds.get_item(2, np.random.default_rng(0))  # slide_2: 3 real tiles
+    finally:
+        transforms.train_augment = orig
+    assert len(calls) == 3

@@ -72,6 +72,56 @@ def load_bag_file(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     raise ValueError(f"unsupported bag file type: {path}")
 
 
+def load_slide_patient(path: str | Path | None) -> dict | None:
+    """Slide->patient map; ``None`` falls back to slide name as patient."""
+    if path is None:
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_label_entries(label_path: str | Path, mode: str) -> list:
+    """Label-JSON ``[[path, label], ...]`` entries for a stage; ``fine_tune``
+    merges train + test_mixin (ref train.py fine-tune flow)."""
+    with open(label_path) as f:
+        label_json = json.load(f)
+    if mode == "fine_tune":
+        return list(label_json.get("train", [])) + list(label_json.get("test_mixin", []))
+    return label_json[mode]
+
+
+def scan_label_entries(
+    entries, slide_patient: dict | None, resolve
+) -> tuple[list[Path], list[int], list[str], list[str], list[str]]:
+    """Resolve entries -> parallel (files, labels, names, patients, missing).
+
+    The scan shared by the feature- and image-bag datasets (ref
+    ``feature_dataloader.py`` / ``custom_dataloader.py:63-70`` both do this):
+    entries absent from ``slide_patient`` are dropped, unresolvable paths are
+    recorded in ``missing`` rather than raised, and with no patient map the
+    slide name doubles as the patient id. ``resolve(rel, name)`` returns the
+    on-disk Path or None.
+    """
+    files: list[Path] = []
+    labels: list[int] = []
+    names: list[str] = []
+    patients: list[str] = []
+    missing: list[str] = []
+    for rel, label in entries:
+        name = Path(rel).stem
+        if slide_patient is not None and name not in slide_patient:
+            continue
+        found = resolve(rel, name)
+        if found is None:
+            missing.append(str(rel))
+            continue
+        files.append(found)
+        labels.append(int(label))
+        names.append(name)
+        patients.append(slide_patient[name] if slide_patient is not None else name)
+    return files, labels, names, patients, missing
+
+
 def _resolve_bag_path(path: Path) -> Path | None:
     """Candidate resolution shared by the primary and mixed-res lookups:
     the path itself, a ``.h5`` suffix for extension-less entries, then
@@ -112,60 +162,40 @@ class FeatureBagDataset:
         self.cache = cache
         self._bag_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-        if slide_patient_path is not None:
-            with open(slide_patient_path) as f:
-                self.slide_patient = json.load(f)
-        else:
-            self.slide_patient = None  # fall back to slide name as patient
+        self.slide_patient = load_slide_patient(slide_patient_path)
 
-        with open(label_path) as f:
-            label_json = json.load(f)
-        if mode == "fine_tune":
-            entries = list(label_json.get("train", [])) + list(label_json.get("test_mixin", []))
-        else:
-            entries = label_json[mode]
+        entries = load_label_entries(label_path, mode)
+        if feature_extractor:
+            entries = [
+                (rel.replace(DEFAULT_FEATURE_TEMPLATE, feature_extractor), label)
+                for rel, label in entries
+            ]
+        if slides is not None:
+            entries = [e for e in entries if Path(e[0]).stem in slides]
 
-        self.files: list[Path] = []
-        self.labels: list[int] = []
-        self.names: list[str] = []
-        self.patients: list[str] = []
-        self.missing: list[str] = []
+        (self.files, self.labels, self.names, self.patients,
+         self.missing) = scan_label_entries(
+            entries, self.slide_patient,
+            lambda rel, name: _resolve_bag_path(self.file_path / rel),
+        )
         self.mixed_res_missing: list[str] = []
-        for rel, label in entries:
-            if feature_extractor:
-                rel = rel.replace(DEFAULT_FEATURE_TEMPLATE, feature_extractor)
-            name = Path(rel).stem
-            if self.slide_patient is not None and name not in self.slide_patient:
-                continue
-            if slides is not None and name not in slides:
-                continue
-            path = self.file_path / rel
-            found = _resolve_bag_path(path)
-            if found is None:
-                self.missing.append(rel)
-                continue
-            self.files.append(found)
-            self.labels.append(int(label))
-            self.names.append(name)
-            self.patients.append(
-                self.slide_patient[name] if self.slide_patient is not None else name
-            )
-            # multi-resolution training variants (ref feature_dataloader_mixed
-            # FeatureBagLoader: each resolution root adds the slide as an EXTRA
-            # train item with the same label/patient; eval stays single-res)
-            if mixed_res_dirs and mode in ("train", "fine_tune"):
-                for extra_root in mixed_res_dirs:
-                    extra_found = _resolve_bag_path(Path(extra_root) / rel)
-                    if extra_found is None:
-                        self.mixed_res_missing.append(str(Path(extra_root) / rel))
-                        continue
-                    self.files.append(extra_found)
-                    self.labels.append(int(label))
-                    self.names.append(name)
-                    self.patients.append(
-                        self.slide_patient[name]
-                        if self.slide_patient is not None else name
-                    )
+        # multi-resolution training variants (ref feature_dataloader_mixed
+        # FeatureBagLoader: each resolution root adds the slide as an EXTRA
+        # train item with the same label/patient; eval stays single-res).
+        # Only slides the primary root resolved participate.
+        if mixed_res_dirs and mode in ("train", "fine_tune"):
+            resolved = set(self.names)
+            extra_entries = [e for e in entries if Path(e[0]).stem in resolved]
+            for extra_root in mixed_res_dirs:
+                files, labels, names, patients, miss = scan_label_entries(
+                    extra_entries, self.slide_patient,
+                    lambda rel, name, root=Path(extra_root): _resolve_bag_path(root / rel),
+                )
+                self.files += files
+                self.labels += labels
+                self.names += names
+                self.patients += patients
+                self.mixed_res_missing += [str(Path(extra_root) / m) for m in miss]
 
     def __len__(self) -> int:
         return len(self.files)

@@ -99,43 +99,25 @@ class ImageBagDataset:
         self.cache_size = cache_size
         self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
 
-        if slide_patient_path is not None:
-            with open(slide_patient_path) as f:
-                self.slide_patient = json.load(f)
-        else:
-            self.slide_patient = None
+        from transmil_deepgraft_tpu.data.feature_bags import (
+            load_label_entries,
+            load_slide_patient,
+            scan_label_entries,
+        )
 
-        with open(label_path) as f:
-            label_json = json.load(f)
-        if mode == "fine_tune":
-            entries = list(label_json.get("train", [])) + list(label_json.get("test_mixin", []))
-        else:
-            entries = label_json[mode]
+        self.slide_patient = load_slide_patient(slide_patient_path)
 
-        self.files: list[Path] = []
-        self.labels: list[int] = []
-        self.names: list[str] = []
-        self.patients: list[str] = []
-        self.missing: list[str] = []
-        for rel, label in entries:
-            name = Path(rel).stem
-            if self.slide_patient is not None and name not in self.slide_patient:
-                continue
-            found = None
+        def resolve(rel: str, name: str) -> Path | None:
             for suffix in _SUFFIXES:
                 cand = self.file_path / f"{name}{suffix}"
                 if cand.exists():
-                    found = cand
-                    break
-            if found is None:
-                self.missing.append(rel)
-                continue
-            self.files.append(found)
-            self.labels.append(int(label))
-            self.names.append(name)
-            self.patients.append(
-                self.slide_patient[name] if self.slide_patient is not None else name
-            )
+                    return cand
+            return None
+
+        (self.files, self.labels, self.names, self.patients,
+         self.missing) = scan_label_entries(
+            load_label_entries(label_path, mode), self.slide_patient, resolve
+        )
 
     def __len__(self) -> int:
         return len(self.files)
@@ -167,21 +149,26 @@ class ImageBagDataset:
         else:
             idx = np.random.RandomState(0).permutation(n)[: self.bag_size]
         bag = tiles[idx]
-        if bag.shape[0] < self.bag_size:  # zero-pad with BLACK tiles (u8 domain)
-            pad = np.zeros((self.bag_size - bag.shape[0], *bag.shape[1:]), np.uint8)
-            bag = np.concatenate([bag, pad], axis=0)
 
         if self.mode in ("train", "fine_tune") and self.augment:
             from transmil_deepgraft_tpu.data.transforms import train_augment
 
             # slide-consistent draw: every tile gets an IDENTICALLY seeded rng
-            # (the reference's iaa.to_deterministic applied bag-wide)
+            # (the reference's iaa.to_deterministic applied bag-wide); runs
+            # before padding so pad tiles skip the scipy stack
             tile_seed = int(rng.integers(2**31))
             bag = np.stack(
                 [train_augment(t, np.random.default_rng(tile_seed)) for t in bag]
             )
 
-        coords = np.zeros((len(idx), 2), np.int32)
+        if bag.shape[0] < self.bag_size:  # zero-pad with BLACK tiles (u8 domain)
+            pad = np.zeros((self.bag_size - bag.shape[0], *bag.shape[1:]), np.uint8)
+            bag = np.concatenate([bag, pad], axis=0)
+
+        # fixed-size bags: coords (zero placeholders — image bags carry no
+        # grid coordinates) must span the PADDED bag so Batch.lengths and
+        # per-tile exports stay index-consistent with the rows the model sees
+        coords = np.zeros((bag.shape[0], 2), np.int32)
         return range_normalize(bag), label, (name, coords, patient)
 
     def __getitem__(self, index: int):

@@ -38,28 +38,46 @@ def prefetch(
     """
     q: queue.Queue = queue.Queue(maxsize=size)
     sentinel = object()
+    stop = threading.Event()  # consumer abandoned the generator
     err: list[BaseException] = []
+
+    def _put(item) -> bool:
+        """Bounded put that gives up once the consumer is gone — an abandoned
+        generator (fast_dev_run break, mid-epoch exception) must release the
+        producer thread instead of pinning it (and its staged device buffers)
+        on a full queue forever."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer() -> None:
         try:
             for item in iterator:
                 if transform is not None:
                     item = transform(item)
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def device_prefetch(batches: Iterable[Any], mesh=None, size: int = 2) -> Iterator[Any]:

@@ -746,6 +746,12 @@ class Trainer:
         if self.params is None:
             first = next(iter(self.dm.eval_batches("test")))
             self.init_params(first)
+        path = Path(path)
+        # msgpack files: read the bytes ONCE and try the candidate structures
+        # against them (checkpoints can be hundreds of MB; load_pytree would
+        # re-read per attempt). Orbax checkpoints are directories — go through
+        # load_pytree's structure-aware restore per target.
+        data = None if path.is_dir() else path.read_bytes()
         restored = None
         for target in (
             {"params": self.params, "model_state": self.model_state},
@@ -753,7 +759,12 @@ class Trainer:
             self._train_state_tree(0, 0.0, 0, 0),
         ):
             try:
-                restored = load_pytree(path, target)
+                if data is not None:
+                    from flax import serialization
+
+                    restored = serialization.from_bytes(target, data)
+                else:
+                    restored = load_pytree(path, target, backend="orbax")
                 break
             except (ValueError, KeyError):
                 continue
