@@ -14,7 +14,7 @@ import pytest
 from transmil_deepgraft_tpu.models import MODEL_REGISTRY
 from transmil_deepgraft_tpu.utils.config import finalize_config, read_yaml
 
-CONFIG_DIR = Path(__file__).parent.parent / "configs"
+CONFIG_DIR = Path(__file__).parent.parent / "transmil_deepgraft_tpu" / "configs"
 ALL_CONFIGS = sorted(CONFIG_DIR.glob("DeepGraft/*.yaml")) + sorted(
     CONFIG_DIR.glob("Camelyon/*.yaml")
 )

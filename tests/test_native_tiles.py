@@ -1,4 +1,4 @@
-"""Native threaded JPEG tile loader (native/tileloader.cpp + ctypes binding)."""
+"""Native threaded JPEG tile loader (transmil_deepgraft_tpu/native/tileloader.cpp + ctypes binding)."""
 
 import time
 

@@ -1,7 +1,7 @@
 """Port the reference's config pack (72 DeepGraft + 1 Camelyon YAMLs).
 
 Reads each reference YAML (hyperparameter VALUES are the facts being ported),
-and re-emits it in this repo's canonical formatting under ``configs/``. The
+and re-emits it in this repo's canonical formatting under ``transmil_deepgraft_tpu/configs/``. The
 schema intentionally matches the reference's (General/Data/Model/Optimizer/
 Loss) - that is the framework's config contract (``utils/config.py`` parses
 reference trees unchanged). Site-specific absolute paths are rewritten to
@@ -101,7 +101,7 @@ def port_config(src: Path) -> dict:
 def main() -> None:
     n = 0
     for sub in ("DeepGraft", "Camelyon"):
-        out_dir = REPO / "configs" / sub
+        out_dir = REPO / "transmil_deepgraft_tpu" / "configs" / sub
         out_dir.mkdir(parents=True, exist_ok=True)
         for src in sorted((REF / sub).glob("*.yaml")):
             ported = port_config(src)

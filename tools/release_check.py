@@ -32,7 +32,7 @@ def check(name: str, fn) -> None:
 
 def clis() -> None:
     for mod in ("train", "visualize", "extract_features", "sustainability",
-                "infer", "export_metrics"):
+                "infer", "export_metrics", "export_model"):
         r = subprocess.run(
             [sys.executable, "-m", f"transmil_deepgraft_tpu.cli.{mod}", "--help"],
             capture_output=True, cwd=REPO, env={**os.environ, "PYTHONPATH": str(REPO)},
@@ -44,7 +44,7 @@ def clis() -> None:
 def config_pack() -> None:
     from transmil_deepgraft_tpu.utils.config import finalize_config, read_yaml
 
-    paths = sorted((REPO / "configs").rglob("*.yaml"))
+    paths = sorted((REPO / "transmil_deepgraft_tpu" / "configs").rglob("*.yaml"))
     assert len(paths) >= 75, f"only {len(paths)} configs found"
     for p in paths:
         finalize_config(read_yaml(p), config_path=p, stage="train")
@@ -63,11 +63,11 @@ def converters() -> None:
 
 
 def native_libs() -> None:
-    r = subprocess.run(["make", "-C", str(REPO / "native")], capture_output=True)
+    r = subprocess.run(["make", "-C", str(REPO / "transmil_deepgraft_tpu" / "native")], capture_output=True)
     if r.returncode != 0:
         raise RuntimeError(r.stderr.decode()[-200:])
-    assert (REPO / "native" / "libbagstore.so").exists()
-    assert (REPO / "native" / "libtileloader.so").exists()
+    assert (REPO / "transmil_deepgraft_tpu" / "native" / "libbagstore.so").exists()
+    assert (REPO / "transmil_deepgraft_tpu" / "native" / "libtileloader.so").exists()
 
 
 def model_registry() -> None:

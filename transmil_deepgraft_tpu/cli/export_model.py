@@ -51,7 +51,7 @@ _TORCH_CONVERTERS = {
     "DTFD": ("convert_dtfd_state_dict", set()),
     "DTFDMIL": ("convert_dtfd_state_dict", set()),
     "Chowder": ("convert_chowder_state_dict", set()),
-    "TransformerMIL": ("convert_transformer_mil_state_dict", set()),
+    "TransformerMIL": ("convert_transformer_mil_state_dict", {"in_features"}),
     "MDMIL": ("convert_mdmil_state_dict", set()),
     "CTMIL": ("convert_ctmil_state_dict", set()),
 }

@@ -8,7 +8,7 @@ with native threads writing directly into the numpy output buffer. This is the
 TPU-side answer to the reference's h5py-in-DataLoader-workers hot loop
 (``feature_dataloader.py:252-255`` + worker processes) and its DALI dependency.
 
-The shared library auto-builds from ``native/bagstore.cpp`` on first use.
+The shared library auto-builds from ``transmil_deepgraft_tpu/native/bagstore.cpp`` (shipped in the wheel) on first use.
 """
 
 from __future__ import annotations
@@ -20,8 +20,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-_REPO_ROOT = Path(__file__).resolve().parents[2]
-_NATIVE_DIR = _REPO_ROOT / "native"
+_NATIVE_DIR = Path(__file__).resolve().parents[1] / "native"
 _LIB_PATH = _NATIVE_DIR / "libbagstore.so"
 
 _lib: Optional[ctypes.CDLL] = None

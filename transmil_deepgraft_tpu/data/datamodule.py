@@ -59,19 +59,28 @@ def _mixup_assembled(bags: np.ndarray, taken: np.ndarray, rng: np.random.Generat
             bags[i] = temp
 
 
-def _pad_to(bag: np.ndarray, n: int) -> np.ndarray:
+def _pad_to(bag: np.ndarray, n: int, pad_value: float = 0.0) -> np.ndarray:
     if bag.shape[0] >= n:
         return bag[:n]
-    pad = np.zeros((n - bag.shape[0], *bag.shape[1:]), bag.dtype)
+    pad = np.full((n - bag.shape[0], *bag.shape[1:]), pad_value, bag.dtype)
     return np.concatenate([bag, pad], axis=0)
 
 
-def collate(items: Sequence[tuple], eval_pad: str = "bucket", buckets=DEFAULT_BUCKETS) -> Batch:
+def collate(
+    items: Sequence[tuple],
+    eval_pad: str = "bucket",
+    buckets=DEFAULT_BUCKETS,
+    pad_value: float = 0.0,
+) -> Batch:
+    """``pad_value`` must match the dataset's own intra-bag padding domain:
+    0.0 for feature bags and imagenet-normalized tile bags, -1.0 for the
+    legacy image bags whose black pad tiles normalize to -1 — otherwise
+    bucket padding would insert mid-gray content tiles."""
     bags = [i[0] for i in items]
     lengths = np.array([b.shape[0] for b in bags], np.int32)
     max_len = int(lengths.max())
     target = max_len if eval_pad == "exact" else bucket_for_length(max_len, buckets)
-    bags = np.stack([_pad_to(b, target) for b in bags]).astype(np.float32)
+    bags = np.stack([_pad_to(b, target, pad_value) for b in bags]).astype(np.float32)
     return Batch(
         bags=bags,
         labels=np.array([i[1] for i in items], np.int32),
@@ -263,7 +272,8 @@ class MILDataModule:
             return
         for start in range(0, len(order) - bs + 1, bs):
             items = [self._get(ds, int(i), rng) for i in order[start : start + bs]]
-            yield collate(items, eval_pad="exact")  # train bags are already fixed-size
+            # train bags are already fixed-size
+            yield collate(items, eval_pad="exact", pad_value=getattr(ds, "pad_value", 0.0))
 
     def eval_batches(self, mode: str, batch_size: int = 1) -> Iterator[Batch]:
         ds = self.dataset(mode)
@@ -276,7 +286,7 @@ class MILDataModule:
             order = ImbalancedSampler(ds.get_labels(), self.n_classes).sample_epoch(rng)
         for start in range(0, len(order), batch_size):
             items = [self._get(ds, int(i), rng) for i in order[start : start + batch_size]]
-            yield collate(items, eval_pad=self.eval_pad)
+            yield collate(items, eval_pad=self.eval_pad, pad_value=getattr(ds, "pad_value", 0.0))
 
     @staticmethod
     def _get(ds, index: int, rng: np.random.Generator):

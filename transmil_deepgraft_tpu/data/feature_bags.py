@@ -186,16 +186,25 @@ class FeatureBagDataset:
         if mixed_res_dirs and mode in ("train", "fine_tune"):
             resolved = set(self.names)
             extra_entries = [e for e in entries if Path(e[0]).stem in resolved]
+            extras_by_name: dict[str, list[tuple]] = {}
             for extra_root in mixed_res_dirs:
                 files, labels, names, patients, miss = scan_label_entries(
                     extra_entries, self.slide_patient,
                     lambda rel, name, root=Path(extra_root): _resolve_bag_path(root / rel),
                 )
-                self.files += files
-                self.labels += labels
-                self.names += names
-                self.patients += patients
+                for item in zip(files, labels, names, patients):
+                    extras_by_name.setdefault(item[2], []).append(item)
                 self.mixed_res_missing += [str(Path(extra_root) / m) for m in miss]
+            # slide-major merge (the reference loop order: per slide, the
+            # primary resolution then each extra root's variant)
+            merged: list[tuple] = []
+            for item in zip(self.files, self.labels, self.names, self.patients):
+                merged.append(item)
+                merged += extras_by_name.get(item[2], [])
+            if merged:
+                self.files, self.labels, self.names, self.patients = (
+                    list(seq) for seq in zip(*merged)
+                )
 
     def __len__(self) -> int:
         return len(self.files)

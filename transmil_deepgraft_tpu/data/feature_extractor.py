@@ -112,6 +112,20 @@ def extract_cohort(
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    _FUSED_T_CFG = (1, 1, 2, 1, 2, 1, 2)
+    if quantize == "int8_fused":
+        # fail before calibration/packing, not deep inside the Pallas path
+        # (mirrors SlideInferencePipeline's upfront check); extraction pads
+        # every batch to batch_size, so each non-XLA segment tile count
+        # must divide it
+        if getattr(backbone, "truncate_after", 4) != 4:
+            raise ValueError("int8_fused supports the full 4-stage net only")
+        for t in _FUSED_T_CFG:
+            if t and batch_size % t:
+                raise ValueError(
+                    f"int8_fused: t={t} does not divide batch_size={batch_size}; "
+                    f"use a batch size divisible by {max(t for t in _FUSED_T_CFG if t)}"
+                )
     if quantize in ("int8", "int8_fused"):
         from transmil_deepgraft_tpu.models.resnet_int8 import (
             apply_qresnet50,
@@ -139,10 +153,8 @@ def extract_cohort(
                 prepare_qresnet50_fused,
             )
 
-            if truncate != 4:
-                raise ValueError("int8_fused supports the full 4-stage net only")
             q = prepare_qresnet50_fused(q)
-            jit_q = jax.jit(partial(apply_qresnet50_fused, t_cfg=(1, 1, 2, 1, 2, 1, 2)))
+            jit_q = jax.jit(partial(apply_qresnet50_fused, t_cfg=_FUSED_T_CFG))
         else:
             jit_q = jax.jit(apply_qresnet50)
         embed_fn = lambda x: jit_q(q, x)

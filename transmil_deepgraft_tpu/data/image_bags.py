@@ -79,6 +79,10 @@ def range_normalize(img: np.ndarray) -> np.ndarray:
 
 
 class ImageBagDataset:
+    # black pad tiles normalize to -1; bucket-padding in collate must match
+    # (datamodule reads this attribute) or pad rows become mid-gray content
+    pad_value = -1.0
+
     def __init__(
         self,
         file_path: str | Path,

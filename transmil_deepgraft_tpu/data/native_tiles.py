@@ -6,7 +6,7 @@
 DALI jpeg pipeline (``code/datasets/dali_dataloader.py``) for the raw-image
 MIL path, replacing single-threaded PIL decode at extraction/serving time.
 
-The shared library auto-builds from ``native/tileloader.cpp`` on first use;
+The shared library auto-builds from ``transmil_deepgraft_tpu/native/tileloader.cpp`` (shipped in the wheel) on first use;
 ``available()`` gates callers so environments without libjpeg fall back to PIL.
 
 Measured: per-core decode cost matches PIL (same libjpeg underneath; ~700
@@ -27,8 +27,7 @@ import numpy as np
 IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
-_REPO_ROOT = Path(__file__).resolve().parents[2]
-_NATIVE_DIR = _REPO_ROOT / "native"
+_NATIVE_DIR = Path(__file__).resolve().parents[1] / "native"
 _LIB_PATH = _NATIVE_DIR / "libtileloader.so"
 
 _lib: Optional[ctypes.CDLL] = None

@@ -35,7 +35,9 @@ def ppeg_conv(
 ) -> jax.Array:
     """Apply PPEG to feature tokens (B, N, C) with N == h*w.
 
-    kernels: (7,7,C,1), (5,5,C,1), (3,3,C,1) depthwise filters; optional biases (C,).
+    kernels: (7,7,1,C), (5,5,1,C), (3,3,1,C) HWIO depthwise filters (the layout
+    ``ops.depthwise.depthwise_conv2d`` takes and the torch converter emits);
+    optional biases (C,).
     Returns (B, N, C) = tokens + dw7(tokens) + dw5(tokens) + dw3(tokens) on the
     h x w grid.
     """

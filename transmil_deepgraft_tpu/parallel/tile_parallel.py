@@ -69,6 +69,12 @@ def make_tile_parallel_embed(
     return run
 
 
+# jax.jit caches per wrapper object, so the jitted runner must be reused
+# across calls — rebuilding it per slide would recompile the full backbone
+# every invocation. Keyed on (embed_fn, mesh, axis); both are hashable.
+_RUN_CACHE: dict = {}
+
+
 def tile_parallel_slide_embed(
     embed_fn: Callable[[Any, jax.Array], jax.Array],
     static: Any,
@@ -82,7 +88,10 @@ def tile_parallel_slide_embed(
     ``chunk * axis_size`` tiles (one compiled program regardless of N, the
     serving pattern of ``SlideInferencePipeline``)."""
     n_shards = mesh.shape[axis]
-    run = make_tile_parallel_embed(embed_fn, mesh, axis=axis)
+    key = (embed_fn, mesh, axis)
+    run = _RUN_CACHE.get(key)
+    if run is None:
+        run = _RUN_CACHE[key] = make_tile_parallel_embed(embed_fn, mesh, axis=axis)
     if chunk is None:
         return run(static, tiles)
     step = chunk * n_shards

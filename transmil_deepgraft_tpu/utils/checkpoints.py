@@ -18,6 +18,7 @@ Two storage backends:
 from __future__ import annotations
 
 import json
+import os
 import shutil
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -29,18 +30,36 @@ from flax import serialization
 
 
 def save_pytree(path: str | Path, tree: Any, backend: str = "msgpack") -> None:
+    """Atomic save: the full serialization lands in a ``.tmp`` sibling first and
+    is swapped in afterwards, so a preemption mid-write (the exact event the
+    trainer's ``autosave_steps`` exists for) can never leave a truncated
+    ``last.ckpt`` — the previous complete checkpoint survives until the new one
+    is fully on disk."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     tree = jax.tree.map(np.asarray, jax.device_get(tree))
+    tmp = path.with_name(path.name + ".tmp")
     if backend == "msgpack":
-        path.write_bytes(serialization.to_bytes(tree))
+        tmp.write_bytes(serialization.to_bytes(tree))
+        os.replace(tmp, path)  # atomic on POSIX
     elif backend == "orbax":
         import orbax.checkpoint as ocp
 
-        if path.exists():
-            shutil.rmtree(path) if path.is_dir() else path.unlink()
+        if tmp.exists():
+            shutil.rmtree(tmp) if tmp.is_dir() else tmp.unlink()
         with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
-            ckptr.save(path.resolve(), tree)
+            ckptr.save(tmp.resolve(), tree)
+        # Directory swap can't be a single rename over a non-empty target:
+        # park the old checkpoint aside, rename the complete new one in, then
+        # drop the old. A complete checkpoint exists on disk at every instant.
+        old = path.with_name(path.name + ".old")
+        if old.exists():
+            shutil.rmtree(old) if old.is_dir() else old.unlink()
+        if path.exists():
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if old.exists():
+            shutil.rmtree(old) if old.is_dir() else old.unlink()
     else:
         raise ValueError(f"unknown checkpoint backend {backend!r}")
 
