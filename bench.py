@@ -33,7 +33,7 @@ CHUNK = 128
 HEAD_ITERS = 8
 
 
-def _chained_time(fn, *args, iters, reps=2):
+def _chained_time(fn, *args, iters, reps=4):
     @jax.jit
     def chained(*a):
         def body(carry, _):

@@ -1,0 +1,102 @@
+"""HTTP serving daemon (cli/serve) over an AOT .tdx bundle."""
+
+from __future__ import annotations
+
+import http.client
+import io
+import json
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from transmil_deepgraft_tpu.models import create_model
+from transmil_deepgraft_tpu.serving import ServingBundle, export_serving_bundle
+
+DIM = 32
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from transmil_deepgraft_tpu.cli.serve import make_server
+
+    model = create_model("AttMIL", n_classes=3, in_features=DIM)
+    x = np.zeros((1, 64, DIM), np.float32)
+    variables = jax.device_get(model.init({"params": jax.random.key(0)}, x))
+    path = tmp_path_factory.mktemp("bundle") / "head.tdx"
+    export_serving_bundle(
+        model, variables, path, model_name="AttMIL", in_features=DIM,
+        buckets=(64, 128), platforms=("cpu",),
+    )
+    bundle = ServingBundle.load(path)
+    srv = make_server(bundle, "127.0.0.1", 0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address[1], model, variables
+    srv.shutdown()
+    srv.server_close()
+
+
+def _request(port, method, path, body=None, ctype="application/json"):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    headers = {"Content-Type": ctype} if body is not None else {}
+    conn.request(method, path, body=body, headers=headers)
+    r = conn.getresponse()
+    out = json.loads(r.read())
+    conn.close()
+    return r.status, out
+
+
+def test_health_and_meta(server):
+    port, _, _ = server
+    status, doc = _request(port, "GET", "/health")
+    assert status == 200 and doc["status"] == "ok" and doc["model"] == "AttMIL"
+    status, meta = _request(port, "GET", "/meta")
+    assert status == 200 and meta["in_features"] == DIM
+
+
+def test_predict_json_matches_live_model(server):
+    port, model, variables = server
+    feats = np.random.default_rng(0).standard_normal((40, DIM)).astype(np.float32)
+    status, doc = _request(
+        port, "POST", "/predict", body=json.dumps({"features": feats.tolist()})
+    )
+    assert status == 200
+    # server pads 40 -> bucket 64 with zeros, same as eval_pad='bucket'
+    padded = np.zeros((1, 64, DIM), np.float32)
+    padded[0, :40] = feats
+    live = np.asarray(model.apply(variables, padded, deterministic=True))
+    np.testing.assert_allclose(np.asarray(doc["logits"]), live, rtol=2e-5, atol=2e-5)
+    assert doc["pred"] == [int(np.argmax(live))]
+    probs = np.asarray(doc["probs"])
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-5)
+
+
+def test_predict_npy_batch(server):
+    port, _, _ = server
+    feats = np.random.default_rng(1).standard_normal((2, 50, DIM)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, feats)
+    status, doc = _request(
+        port, "POST", "/predict", body=buf.getvalue(),
+        ctype="application/octet-stream",
+    )
+    assert status == 200
+    assert np.asarray(doc["logits"]).shape == (2, 3)
+
+
+def test_predict_bad_input_is_400(server):
+    port, _, _ = server
+    status, doc = _request(port, "POST", "/predict", body=b"not json")
+    assert status == 400 and "error" in doc
+    status, doc = _request(
+        port, "POST", "/predict", body=json.dumps({"features": [1.0, 2.0]})
+    )
+    assert status == 400 and "error" in doc
+
+
+def test_unknown_path_404(server):
+    port, _, _ = server
+    status, _ = _request(port, "GET", "/nope")
+    assert status == 404

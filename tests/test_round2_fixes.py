@@ -184,9 +184,11 @@ def test_kfold_val_batching_and_ensemble_exports(tmp_path):
     assert list((tmp_path / "kf").glob("fold*/ensemble_c0_top_patients.csv"))
 
 
-def test_autosave_steps_mid_epoch(tmp_path):
+@pytest.mark.parametrize("autosave_async", [True, False])
+def test_autosave_steps_mid_epoch(tmp_path, autosave_async):
     """autosave_steps writes a resumable FULL train state mid-epoch
-    (preemption safety the reference lacks: its saves are epoch-granular)."""
+    (preemption safety the reference lacks: its saves are epoch-granular).
+    Covers both the background-thread writer (default) and the inline one."""
     import jax
 
     from transmil_deepgraft_tpu.data.datamodule import MILDataModule
@@ -204,7 +206,7 @@ def test_autosave_steps_mid_epoch(tmp_path):
     model = AttMIL(n_classes=2, in_features=16, out_features=8, attn_dim=4)
     tx = create_optimizer(opt="adam", lr=1e-3, weight_decay=0.0)
     cfg = TrainerConfig(epochs=1, log_dir=str(tmp_path), task="norm_rest",
-                        autosave_steps=2)
+                        autosave_steps=2, autosave_async=autosave_async)
     tr = Trainer(model, tx, dm, n_classes=2, loss_fn=create_loss(), config=cfg,
                  model_name="AttMIL")
     tr.fit()

@@ -32,7 +32,7 @@ def check(name: str, fn) -> None:
 
 def clis() -> None:
     for mod in ("train", "visualize", "extract_features", "sustainability",
-                "infer", "export_metrics", "export_model"):
+                "infer", "export_metrics", "export_model", "serve"):
         r = subprocess.run(
             [sys.executable, "-m", f"transmil_deepgraft_tpu.cli.{mod}", "--help"],
             capture_output=True, cwd=REPO, env={**os.environ, "PYTHONPATH": str(REPO)},

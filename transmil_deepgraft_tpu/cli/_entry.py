@@ -44,3 +44,6 @@ def export_metrics() -> int:
 
 def export_model() -> int:
     return _run("export_model")
+
+def serve() -> int:
+    return _run("serve")

@@ -1,0 +1,145 @@
+"""Serving daemon: HTTP inference over an AOT ``.tdx`` bundle.
+
+``python -m transmil_deepgraft_tpu.cli.serve --bundle head.tdx --port 8000``
+
+Completes the deployment story the bundles (``serving.py``) start: a serving
+host runs this one command against the exported artifact — no model code, no
+torch, no config system (the reference's serving path re-instantiates the
+LightningModule from source, ``code/test_visualize.py:38-99``). Stdlib-only
+(``http.server``), threaded, with the bundle's per-bucket compile cache doing
+the heavy lifting.
+
+Endpoints:
+
+- ``GET /health``  -> ``{"status": "ok", "model": ..., "buckets": [...]}``
+- ``GET /meta``    -> the full bundle metadata
+- ``POST /predict`` -> logits/probs/pred for one or more feature bags.
+  Body is either JSON ``{"features": [[...], ...]}`` (one bag, n x D) /
+  ``{"bags": [[[...]]]}`` (batch), or a raw ``.npy`` array (n, D) or
+  (B, n, D) with ``Content-Type: application/octet-stream``.
+
+Device execution is serialized behind a lock: one chip, one compiled program
+at a time — concurrency buys request pipelining (decode/encode overlap), not
+parallel device use.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="serve a .tdx bundle over HTTP")
+    p.add_argument("--bundle", required=True, help="path to the exported .tdx bundle")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--warmup", action="store_true",
+                   help="compile every bucket before accepting requests")
+    return p
+
+
+def _predict(bundle, lock: threading.Lock, feats: np.ndarray) -> dict:
+    feats = np.asarray(feats, np.float32)
+    if feats.ndim == 2:
+        feats = feats[None]
+    if feats.ndim != 3:
+        raise ValueError(f"features must be (n, D) or (B, n, D), got {feats.shape}")
+    # bundles are exported at a fixed batch (default 1): run the request's
+    # bags through in exported-batch chunks
+    eb = int(bundle.meta.get("batch", 1))
+    nbags = feats.shape[0]
+    pad = (-nbags) % eb  # bundle requires exact batch: pad the final chunk
+    if pad:
+        feats = np.concatenate([feats, np.zeros((pad, *feats.shape[1:]), np.float32)])
+    with lock:
+        logits = np.concatenate(
+            [np.asarray(bundle.predict_logits(feats[i : i + eb]))
+             for i in range(0, feats.shape[0], eb)]
+        )[:nbags]
+    e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+    probs = e / e.sum(axis=-1, keepdims=True)
+    return {
+        "logits": logits.tolist(),
+        "probs": probs.tolist(),
+        "pred": np.argmax(logits, axis=-1).tolist(),
+    }
+
+
+def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {
+                    "status": "ok",
+                    "model": bundle.meta.get("model_name"),
+                    "mode": bundle.meta.get("mode"),
+                    "buckets": bundle.meta.get("buckets"),
+                })
+            elif self.path == "/meta":
+                self._send(200, bundle.meta)
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n)
+            try:
+                ctype = self.headers.get("Content-Type", "application/json")
+                if ctype.startswith("application/octet-stream"):
+                    feats = np.load(io.BytesIO(raw), allow_pickle=False)
+                else:
+                    doc = json.loads(raw)
+                    feats = np.asarray(doc.get("features", doc.get("bags")))
+                self._send(200, _predict(bundle, lock, feats))
+            except Exception as e:  # noqa: BLE001 - surface as HTTP 400
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv: list[str] | None = None) -> dict:
+    from transmil_deepgraft_tpu.serving import ServingBundle
+
+    args = make_parser().parse_args(argv)
+    bundle = ServingBundle.load(args.bundle)
+    if args.warmup:
+        d = int(bundle.meta["in_features"])
+        for b in bundle.meta["buckets"]:
+            bundle.predict_logits(np.zeros((b, d), np.float32))
+    srv = make_server(bundle, args.host, args.port)
+    meta = {"model": bundle.meta.get("model_name"), "host": args.host,
+            "port": srv.server_address[1]}
+    print(json.dumps({**meta, "status": "serving"}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+    return meta
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,11 @@ class TrainerConfig:
     # state to last.ckpt. Resume restarts the interrupted epoch from its
     # beginning with the exact rng stream a straight-through run would use.
     autosave_steps: int = 0
+    # serialize autosaves on a background thread: the step loop only pays the
+    # device->host fetch (the snapshot point); msgpack/orbax serialization and
+    # the atomic file swap overlap the next steps' device work. At most one
+    # write is in flight (a new autosave joins the previous one first).
+    autosave_async: bool = True
     # DALI-equivalent host/device overlap (data/pipeline.py, ref
     # dali_dataloader.py:26-255): keep N batches staged on device by a
     # background thread so H2D transfer overlaps the previous step. 0 = the
@@ -393,12 +398,10 @@ class Trainer:
                 train_probs.append(np.asarray(probs))
                 train_labels.append(batch.labels)
                 if self.cfg.autosave_steps and (step_i + 1) % self.cfg.autosave_steps == 0:
-                    save_pytree(
-                        self.ckpts.last_path(),
+                    self._autosave(
                         self._train_state_tree(
                             epoch, best_val_loss, epochs_since_best, plateau_since_best
-                        ),
-                        backend=self.cfg.ckpt_backend,
+                        )
                     )
                 if self.cfg.fast_dev_run:
                     break
@@ -460,6 +463,7 @@ class Trainer:
             # save_weights_only=True); last.ckpt carries the FULL end-of-epoch
             # train state so --resume_training restores optimizer/epoch/
             # early-stop/plateau/lr-scale exactly
+            self._autosave_join()  # no in-flight writer may race last.ckpt
             self.ckpts.save_epoch(
                 {"params": self.params, "model_state": self.model_state}, epoch,
                 {k: metrics[k] for k in ("val_loss", "val_auc", "val_accuracy")},
@@ -470,12 +474,38 @@ class Trainer:
             if stop:
                 break
 
+        self._autosave_join()
         if self.cfg.swa and self._swa_params is not None:
             self.params = self._swa_params
             save_pytree(self.ckpts.last_path(), {"params": self.params}, backend=self.cfg.ckpt_backend)
         return history
 
     # --------------------------------------------------------- resume support
+    def _autosave(self, tree: dict) -> None:
+        """Write ``tree`` to last.ckpt; with ``autosave_async`` the snapshot is
+        fetched to host inline (consistency point) and serialized/swapped on a
+        worker thread so the step loop keeps dispatching device work."""
+        if not self.cfg.autosave_async:
+            save_pytree(self.ckpts.last_path(), tree, backend=self.cfg.ckpt_backend)
+            return
+        import threading
+
+        host_tree = jax.tree.map(np.asarray, jax.device_get(tree))
+        self._autosave_join()  # at most one write in flight; preserves ordering
+        t = threading.Thread(
+            target=save_pytree,
+            args=(self.ckpts.last_path(), host_tree),
+            kwargs={"backend": self.cfg.ckpt_backend},
+            daemon=True,
+        )
+        self._autosave_thread = t
+        t.start()
+
+    def _autosave_join(self) -> None:
+        t = getattr(self, "_autosave_thread", None)
+        if t is not None and t.is_alive():
+            t.join()
+
     def _train_state_tree(
         self, epoch: int, best_val_loss: float, epochs_since_best: int, plateau_since_best: int
     ) -> dict:
