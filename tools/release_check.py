@@ -87,6 +87,32 @@ def driver_entry() -> None:
     assert (REPO / "bench.py").exists()
 
 
+def wheel_contents() -> None:
+    """Build the wheel and verify the data the runtime needs ships in it:
+    the config pack, the native C++ sources + Makefile, no .so binaries, and
+    console scripts pointing at the exit-0 _entry shims."""
+    import tempfile
+    import zipfile
+
+    with tempfile.TemporaryDirectory() as td:
+        r = subprocess.run(
+            [sys.executable, "-m", "pip", "wheel", str(REPO), "--no-deps",
+             "--no-build-isolation", "-w", td],
+            capture_output=True, cwd=td,
+        )
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr.decode()[-300:])
+        (whl,) = Path(td).glob("*.whl")
+        names = zipfile.ZipFile(whl).namelist()
+        assert sum(n.endswith(".yaml") for n in names) >= 75, "config pack missing"
+        for f in ("native/bagstore.cpp", "native/tileloader.cpp", "native/Makefile"):
+            assert f"transmil_deepgraft_tpu/{f}" in names, f
+        assert not any(n.endswith(".so") for n in names), "prebuilt .so leaked"
+        entry_txt = next(n for n in names if n.endswith("entry_points.txt"))
+        txt = zipfile.ZipFile(whl).read(entry_txt).decode()
+        assert "cli._entry" in txt and ":main" not in txt, "scripts must use _entry shims"
+
+
 def main() -> int:
     check("CLI --help surface", clis)
     check("config pack parses", config_pack)
@@ -94,6 +120,7 @@ def main() -> int:
     check("native libraries build", native_libs)
     check("model registry constructs", model_registry)
     check("driver entry points", driver_entry)
+    check("wheel ships configs+native", wheel_contents)
     if FAILS:
         print(f"\n{len(FAILS)} check(s) failed: {FAILS}")
         return 1
