@@ -136,3 +136,22 @@ def test_extract_cohort_fused_batch_size_validated(tmp_path):
             backbone, {}, ds, tmp_path / "out",
             batch_size=25, quantize="int8_fused",
         )
+
+
+def test_check_home_remaps_foreign_roots():
+    """ref check_home (train.py:330-350): absolute paths whose first component
+    differs from the host's mount root are re-rooted; matching paths and
+    relative paths pass through."""
+    from transmil_deepgraft_tpu.utils.config import Config, check_home
+
+    cfg = Config({
+        "General": {"log_path": "/homeStor1/ylan/logs"},
+        "Data": {"data_dir": "/homeStor1/ylan/data", "label_file": "labels.json"},
+    })
+    out = check_home(cfg, home="home")
+    assert out.General.log_path == "/home/ylan/logs"
+    assert out.Data.data_dir == "/home/ylan/data"
+    assert out.Data.label_file == "labels.json"  # relative: untouched
+    # already-matching root: untouched
+    cfg2 = Config({"General": {"log_path": "/home/x"}, "Data": {}})
+    assert check_home(cfg2, home="home").General.log_path == "/home/x"

@@ -26,7 +26,7 @@ from transmil_deepgraft_tpu.parallel.mesh import make_mesh
 from transmil_deepgraft_tpu.train.losses import create_loss
 from transmil_deepgraft_tpu.train.optimizers import create_optimizer_from_config
 from transmil_deepgraft_tpu.train.trainer import Trainer, TrainerConfig
-from transmil_deepgraft_tpu.utils.config import finalize_config, read_yaml
+from transmil_deepgraft_tpu.utils.config import check_home, finalize_config, read_yaml
 
 
 def make_parser() -> argparse.ArgumentParser:
@@ -43,6 +43,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--fine_tune", action="store_true")
     p.add_argument("--fast_dev_run", action="store_true")
     p.add_argument("--log_dir", default=None, help="override derived log path")
+    p.add_argument("--check_home", action="store_true",
+                   help="remap absolute data/log paths onto this host's mount "
+                        "root (ref check_home, train.py:330-350; opt-in here "
+                        "because unconditional remapping would clobber "
+                        "deliberate absolute paths)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the stage into DIR "
                         "(open in TensorBoard/xprof; utils/profiling.trace)")
@@ -201,6 +206,8 @@ def main(argv: list[str] | None = None) -> dict:
     enable_compilation_cache()
     args = make_parser().parse_args(argv)
     cfg = read_yaml(args.config)
+    if args.check_home:
+        cfg = check_home(cfg)
     cfg = finalize_config(
         cfg,
         config_path=args.config,

@@ -144,6 +144,33 @@ def in_features_for_extractor(feature_extractor: str, default: int | None = None
     return FEATURE_EXTRACTOR_DIMS.get(feature_extractor, default)
 
 
+def check_home(cfg: Config, home: str | None = None) -> Config:
+    """Remap absolute data/log paths onto this host's mount root (ref
+    ``train.py:330-350``): reference configs carry cluster-specific prefixes
+    like ``/homeStor1/...``; any of ``General.log_path`` / ``Data.data_dir`` /
+    ``Data.label_file`` whose first path component differs from ``home``
+    (default: the cwd's first component) is re-rooted onto it."""
+    import os
+
+    home = home or (Path(os.getcwd()).parts[1] if len(Path(os.getcwd()).parts) > 1 else "")
+    if not home:
+        return cfg
+
+    def remap(x):
+        p = Path(str(x))
+        if p.is_absolute() and len(p.parts) > 2 and p.parts[1] != home:
+            return "/" + str(Path(home).joinpath(*p.parts[2:]))
+        return x
+
+    if cfg.General.log_path:
+        cfg.General.log_path = remap(cfg.General.log_path)
+    if cfg.Data.data_dir:
+        cfg.Data.data_dir = remap(cfg.Data.data_dir)
+    if cfg.Data.label_file:
+        cfg.Data.label_file = remap(cfg.Data.label_file)
+    return cfg
+
+
 def finalize_config(
     cfg: Config,
     *,
