@@ -155,3 +155,50 @@ def test_check_home_remaps_foreign_roots():
     # already-matching root: untouched
     cfg2 = Config({"General": {"log_path": "/home/x"}, "Data": {}})
     assert check_home(cfg2, home="home").General.log_path == "/home/x"
+
+
+def test_graceful_preemption_saves_and_resumes(tmp_path):
+    """SIGTERM mid-fit: the trainer finishes the in-flight step, writes the
+    full train state to last.ckpt, and returns cleanly; a fresh trainer
+    resumes from it (preemptible-VM behavior the reference lacks)."""
+    import os
+    import signal
+    import threading
+
+    import jax
+
+    from transmil_deepgraft_tpu.data.datamodule import MILDataModule
+    from transmil_deepgraft_tpu.models import AttMIL
+    from transmil_deepgraft_tpu.train.losses import create_loss
+    from transmil_deepgraft_tpu.train.optimizers import create_optimizer
+    from transmil_deepgraft_tpu.train.trainer import Trainer, TrainerConfig
+
+    dm = MILDataModule(
+        n_classes=2, max_bag_size=16, batch_size=2,
+        synthetic={"n_train": 8, "n_val": 4, "n_test": 4, "bag_size": 16,
+                   "feature_size": 16, "signal": 2.0},
+        seed=0,
+    )
+    model = AttMIL(n_classes=2, in_features=16, out_features=8, attn_dim=4)
+    cfg = TrainerConfig(epochs=500, log_dir=str(tmp_path), task="norm_rest")
+    tr = Trainer(model, create_optimizer(opt="adam", lr=1e-3), dm, n_classes=2,
+                 loss_fn=create_loss(), config=cfg, model_name="AttMIL")
+
+    # deliver SIGTERM shortly after fit starts; the handler must stop the
+    # 500-epoch fit early and leave a resumable last.ckpt
+    killer = threading.Timer(3.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    killer.start()
+    try:
+        tr.fit()  # must RETURN (not raise) despite the signal
+    finally:
+        killer.cancel()
+    assert tr.ckpts.last_path().exists()
+
+    tr2 = Trainer(model, create_optimizer(opt="adam", lr=1e-3), dm, n_classes=2,
+                  loss_fn=create_loss(), config=cfg, model_name="AttMIL")
+    assert tr2.load_train_state(tr.ckpts.last_path())
+    for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the original SIGTERM disposition is restored after fit
+    import signal as _s
+    assert _s.getsignal(_s.SIGTERM) in (_s.SIG_DFL, _s.Handlers.SIG_DFL)

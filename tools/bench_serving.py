@@ -1,0 +1,106 @@
+"""Serving-path latency: .tdx bundle predict + HTTP daemon round-trip.
+
+Measures, per bag-length bucket, the ServingBundle.predict_logits device
+latency (chained-call methodology is unnecessary here: serving latency is a
+host-observed quantity, so wall-clock around a blocking fetch IS the metric
+— min over reps to strip relay jitter) and the HTTP daemon's end-to-end
+round-trip (JSON and npy bodies) against a localhost server.
+
+  python tools/bench_serving.py [--model TransMIL] [--buckets 1024,4096,16384]
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import io
+import json
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def time_min(fn, reps: int = 5) -> float:
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="TransMIL")
+    p.add_argument("--in_features", type=int, default=2048)
+    p.add_argument("--buckets", default="1024,4096,16384")
+    p.add_argument("--out", default=None, help="write the JSON rows here too")
+    args = p.parse_args()
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+
+    import jax
+
+    from transmil_deepgraft_tpu.cli.serve import make_server
+    from transmil_deepgraft_tpu.models import create_model
+    from transmil_deepgraft_tpu.serving import ServingBundle, export_serving_bundle
+    from transmil_deepgraft_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    model = create_model(args.model, n_classes=2, in_features=args.in_features)
+    x = np.zeros((1, buckets[0], args.in_features), np.float32)
+    variables = jax.device_get(model.init({"params": jax.random.key(0)}, x))
+    path = "/tmp/bench_serving_head.tdx"
+    export_serving_bundle(model, variables, path, model_name=args.model,
+                          in_features=args.in_features, buckets=buckets)
+    bundle = ServingBundle.load(path)
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for b in buckets:
+        feats = rng.standard_normal((b, args.in_features)).astype(np.float32)
+        bundle.predict_logits(feats)  # compile + warm this bucket
+        ms = time_min(lambda: bundle.predict_logits(feats)) * 1e3
+        rows.append({"path": "bundle.predict", "bucket": b, "ms": round(ms, 2)})
+        print(json.dumps(rows[-1]), flush=True)
+
+    srv = make_server(bundle, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    b = buckets[0]
+    feats = rng.standard_normal((b, args.in_features)).astype(np.float32)
+
+    def http_req(body, ctype):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/predict", body=body, headers={"Content-Type": ctype})
+        r = conn.getresponse()
+        assert r.status == 200, r.read()[:200]
+        r.read()
+        conn.close()
+
+    json_body = json.dumps({"features": feats.tolist()})
+    buf = io.BytesIO()
+    np.save(buf, feats)
+    npy_body = buf.getvalue()
+    http_req(npy_body, "application/octet-stream")  # warm
+    for name, body, ctype in (
+        ("http.predict.npy", npy_body, "application/octet-stream"),
+        ("http.predict.json", json_body, "application/json"),
+    ):
+        ms = time_min(lambda: http_req(body, ctype)) * 1e3
+        rows.append({"path": name, "bucket": b, "ms": round(ms, 2),
+                     "body_bytes": len(body)})
+        print(json.dumps(rows[-1]), flush=True)
+    srv.shutdown()
+    srv.server_close()
+    if args.out:
+        Path(args.out).write_text("\n".join(json.dumps(r) for r in rows))
+
+
+if __name__ == "__main__":
+    main()

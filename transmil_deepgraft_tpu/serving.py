@@ -155,6 +155,17 @@ class ServingBundle:
         self.variables = variables
         self._blobs = exports
         self._calls: dict[str, object] = {}
+        self._device_variables = None  # weights staged on device at first call
+
+    def _dev_vars(self):
+        # Stage the weights on device ONCE: passing the host-numpy tree to the
+        # exported call would re-upload every parameter on every request
+        # (hundreds of ms on tunneled links; measurable even on local PCIe).
+        if self._device_variables is None:
+            import jax
+
+            self._device_variables = jax.device_put(self.variables)
+        return self._device_variables
 
     @classmethod
     def load(cls, path: str | Path) -> "ServingBundle":
@@ -213,7 +224,7 @@ class ServingBundle:
                 [feats, np.zeros((b, target - n, d), np.float32)], axis=1
             )
         key = "symbolic" if self.meta["mode"] == "symbolic" else str(target)
-        return np.asarray(self._call_for(key)(self.variables, feats))
+        return np.asarray(self._call_for(key)(self._dev_vars(), feats))
 
     def predict(self, feats: np.ndarray) -> np.ndarray:
         """(n, D) or (B, n, D) features -> (B, C) class probabilities."""

@@ -78,6 +78,10 @@ class TrainerConfig:
     # state to last.ckpt. Resume restarts the interrupted epoch from its
     # beginning with the exact rng stream a straight-through run would use.
     autosave_steps: int = 0
+    # graceful preemption: on SIGTERM/SIGINT during fit, finish the in-flight
+    # step, save the full train state to last.ckpt, and return cleanly
+    # (resume with --resume_training restarts the interrupted epoch)
+    handle_preemption: bool = True
     # serialize autosaves on a background thread: the step loop only pays the
     # device->host fetch (the snapshot point); msgpack/orbax serialization and
     # the atomic file swap overlap the next steps' device work. At most one
@@ -361,6 +365,49 @@ class Trainer:
 
     # ------------------------------------------------------------------ train
     def fit(self) -> dict[str, float]:
+        with self._preemption_guard():
+            return self._fit()
+
+    def _preemption_guard(self):
+        """SIGTERM/SIGINT during fit: finish the in-flight step, write the full
+        train state to last.ckpt, and return cleanly — the graceful-preemption
+        behavior preemptible TPU VMs need (the reference has none; its saves
+        are epoch-granular). Installed only on the main thread, restored on
+        exit; a second signal falls through to the previous handler."""
+        import contextlib
+        import signal
+        import threading
+
+        self._preempted = False
+
+        @contextlib.contextmanager
+        def guard():
+            if (not self.cfg.handle_preemption
+                    or threading.current_thread() is not threading.main_thread()):
+                yield
+                return
+            prev = {}
+
+            def on_signal(signum, frame):
+                if self._preempted:  # second signal: defer to original handler
+                    handler = prev.get(signum)
+                    if callable(handler):
+                        handler(signum, frame)
+                    else:
+                        raise KeyboardInterrupt
+                self._preempted = True
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev[sig] = signal.signal(sig, on_signal)
+            try:
+                yield
+            finally:
+                for sig, h in prev.items():
+                    signal.signal(sig, h)
+
+        return guard()
+
+    def _fit(self) -> dict[str, float]:
         first = next(iter(self.dm.train_batches(epoch=0)))
         if self.params is None:
             self.init_params(first)
@@ -403,6 +450,17 @@ class Trainer:
                             epoch, best_val_loss, epochs_since_best, plateau_since_best
                         )
                     )
+                if getattr(self, "_preempted", False):
+                    self._autosave_join()
+                    save_pytree(
+                        self.ckpts.last_path(),
+                        self._train_state_tree(
+                            epoch, best_val_loss, epochs_since_best, plateau_since_best
+                        ),
+                        backend=self.cfg.ckpt_backend,
+                    )
+                    self.logger.log(epoch, {"event": "preempted", "step": step_i})
+                    return history
                 if self.cfg.fast_dev_run:
                     break
 
