@@ -44,6 +44,16 @@ def make_parser() -> argparse.ArgumentParser:
     return p
 
 
+def warmup(bundle) -> None:
+    """Compile every bucket before accepting requests, at the bundle's
+    exported batch (a 2-D bag would imply batch=1, which predict_logits
+    rejects for bundles exported with batch>1)."""
+    d = int(bundle.meta["in_features"])
+    eb = int(bundle.meta.get("batch", 1))
+    for b in bundle.meta["buckets"]:
+        bundle.predict_logits(np.zeros((eb, b, d), np.float32))
+
+
 def _predict(bundle, lock: threading.Lock, feats: np.ndarray) -> dict:
     feats = np.asarray(feats, np.float32)
     if feats.ndim == 2:
@@ -125,9 +135,7 @@ def main(argv: list[str] | None = None) -> dict:
     args = make_parser().parse_args(argv)
     bundle = ServingBundle.load(args.bundle)
     if args.warmup:
-        d = int(bundle.meta["in_features"])
-        for b in bundle.meta["buckets"]:
-            bundle.predict_logits(np.zeros((b, d), np.float32))
+        warmup(bundle)
     srv = make_server(bundle, args.host, args.port)
     meta = {"model": bundle.meta.get("model_name"), "host": args.host,
             "port": srv.server_address[1]}

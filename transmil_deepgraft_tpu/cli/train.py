@@ -237,20 +237,25 @@ def main(argv: list[str] | None = None) -> dict:
 def _dispatch(args, cfg, trainer) -> dict:
     if args.stage in ("train", "fine_tune") and cfg.Data.cross_val:
         # K-fold cross-validation + ensemble (ref train.py:256-260 + train_loop.py)
-        from transmil_deepgraft_tpu.train.kfold import run_kfold
+        from transmil_deepgraft_tpu.train.kfold import KFoldPreempted, run_kfold
 
         def build_for_fold(fold_dm, log_dir):
             t = build(cfg, log_dir=log_dir)
             t.dm = fold_dm
             return t
 
-        result = run_kfold(
-            build_for_fold,
-            trainer.dm,
-            nfold=int(cfg.Data.nfold or 3),
-            export_dir=Path(trainer.cfg.log_dir) / "kfold",
-            seed=int(cfg.General.seed or 2021),
-        )
+        try:
+            result = run_kfold(
+                build_for_fold,
+                trainer.dm,
+                nfold=int(cfg.Data.nfold or 3),
+                export_dir=Path(trainer.cfg.log_dir) / "kfold",
+                seed=int(cfg.General.seed or 2021),
+            )
+        except KFoldPreempted as e:
+            out = {"event": "preempted", "fold": e.fold, "resume_dir": str(e.fold_dir)}
+            print(json.dumps(out))
+            return out
         print(json.dumps(result.ensemble_metrics, default=float))
         return result.ensemble_metrics
 
@@ -269,12 +274,20 @@ def _dispatch(args, cfg, trainer) -> dict:
     if args.stage in ("train", "fine_tune"):
         if args.resume_training:
             last = trainer.ckpts.last_path()
-            if last.exists():
+            # .old: the orbax swap's crash-window name (load_pytree resolves it)
+            if last.exists() or last.with_name(last.name + ".old").exists():
                 # full resume: params + optimizer + epoch + early-stop/plateau/
                 # lr-scale (strictly better than the reference's weights-only
                 # resume, utils/utils.py:195-218)
                 trainer.load_train_state(last)
         history = trainer.fit()
+        if getattr(trainer, "preempted", False):
+            # SIGTERM mid-fit: state saved to last.ckpt; do NOT test
+            # half-trained weights — report and exit so --resume_training
+            # picks the run back up
+            out = {"event": "preempted", **{k: v for k, v in history.items() if k != "preempted"}}
+            print(json.dumps(out, default=float))
+            return out
         summary = trainer.test()
         print(json.dumps({**history, **summary}, default=float))
         return summary

@@ -14,14 +14,12 @@ The shared library auto-builds from ``transmil_deepgraft_tpu/native/bagstore.cpp
 from __future__ import annotations
 
 import ctypes
-import subprocess
 from pathlib import Path
 from typing import Optional, Sequence
 
 import numpy as np
 
-_NATIVE_DIR = Path(__file__).resolve().parents[1] / "native"
-_LIB_PATH = _NATIVE_DIR / "libbagstore.so"
+from transmil_deepgraft_tpu.utils.native_build import ensure_native_lib
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -30,9 +28,9 @@ def _load_lib() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < (_NATIVE_DIR / "bagstore.cpp").stat().st_mtime:
-        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
-    lib = ctypes.CDLL(str(_LIB_PATH))
+    # builds into the package dir, or the user cache when site-packages is
+    # read-only (system installs) — see utils/native_build.py
+    lib = ctypes.CDLL(str(ensure_native_lib("bagstore", ["bagstore.cpp"])))
     lib.bagstore_open.restype = ctypes.c_void_p
     lib.bagstore_open.argtypes = [ctypes.c_char_p]
     lib.bagstore_close.argtypes = [ctypes.c_void_p]

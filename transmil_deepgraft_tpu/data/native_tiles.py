@@ -18,17 +18,15 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from pathlib import Path
 from typing import Optional, Sequence
 
 import numpy as np
 
+from transmil_deepgraft_tpu.utils.native_build import ensure_native_lib
+
 IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
-
-_NATIVE_DIR = Path(__file__).resolve().parents[1] / "native"
-_LIB_PATH = _NATIVE_DIR / "libtileloader.so"
 
 _lib: Optional[ctypes.CDLL] = None
 _lib_failed = False
@@ -39,13 +37,9 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        src = _NATIVE_DIR / "tileloader.cpp"
-        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src.stat().st_mtime:
-            subprocess.run(
-                ["make", "-C", str(_NATIVE_DIR), "libtileloader.so"],
-                check=True, capture_output=True,
-            )
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        # builds into the package dir, or the user cache when site-packages
+        # is read-only (system installs) — see utils/native_build.py
+        lib = ctypes.CDLL(str(ensure_native_lib("tileloader", ["tileloader.cpp"])))
         lib.tl_load_batch.restype = ctypes.c_int
         lib.tl_load_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,

@@ -72,7 +72,12 @@ def make_tile_parallel_embed(
 # jax.jit caches per wrapper object, so the jitted runner must be reused
 # across calls — rebuilding it per slide would recompile the full backbone
 # every invocation. Keyed on (embed_fn, mesh, axis); both are hashable.
-_RUN_CACHE: dict = {}
+# Bounded LRU: a caller that builds a fresh lambda per slide would otherwise
+# pin every compiled runner (and its captured weights) forever. Callers with
+# many long-lived embed fns should hold make_tile_parallel_embed's runner
+# directly instead of going through this convenience cache.
+_RUN_CACHE_MAX = 8
+_RUN_CACHE: "dict" = {}  # insertion-ordered; re-insert on hit for LRU
 
 
 def tile_parallel_slide_embed(
@@ -89,9 +94,12 @@ def tile_parallel_slide_embed(
     serving pattern of ``SlideInferencePipeline``)."""
     n_shards = mesh.shape[axis]
     key = (embed_fn, mesh, axis)
-    run = _RUN_CACHE.get(key)
+    run = _RUN_CACHE.pop(key, None)
     if run is None:
-        run = _RUN_CACHE[key] = make_tile_parallel_embed(embed_fn, mesh, axis=axis)
+        run = make_tile_parallel_embed(embed_fn, mesh, axis=axis)
+        while len(_RUN_CACHE) >= _RUN_CACHE_MAX:
+            _RUN_CACHE.pop(next(iter(_RUN_CACHE)))
+    _RUN_CACHE[key] = run  # (re-)insert at the end: LRU order
     if chunk is None:
         return run(static, tiles)
     step = chunk * n_shards

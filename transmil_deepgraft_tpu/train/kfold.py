@@ -77,6 +77,17 @@ class KFoldResult:
     checkpoint_paths: list[Path]
 
 
+class KFoldPreempted(RuntimeError):
+    """Raised when a fold's fit was stopped by SIGTERM/SIGINT (graceful
+    preemption): the interrupted fold's full train state is in ``fold_dir``;
+    completed folds' ``model.{fold}.pt`` exports are already on disk."""
+
+    def __init__(self, fold: int, fold_dir: Path) -> None:
+        super().__init__(f"k-fold run preempted during fold {fold} (state in {fold_dir})")
+        self.fold = fold
+        self.fold_dir = fold_dir
+
+
 def run_kfold(
     build_trainer: Callable[[object, str], "Trainer"],  # (datamodule, log_dir) -> Trainer
     dm: MILDataModule,
@@ -101,6 +112,11 @@ def run_kfold(
         trainer = build_trainer(fold_dm, str(export_dir / f"fold{fold}"))
         template_trainer = trainer
         trainer.fit()
+        if getattr(trainer, "preempted", False):
+            # SIGTERM mid-fold: the fold's train state is saved in its fold
+            # dir; testing half-trained weights, exporting them into the
+            # ensemble, or starting the next fold would all be wrong
+            raise KFoldPreempted(fold, export_dir / f"fold{fold}")
         metrics = trainer.test()
         fold_metrics.append(metrics)
         path = export_dir / f"model.{fold}.pt"

@@ -379,6 +379,10 @@ class Trainer:
         import threading
 
         self._preempted = False
+        # public outcome flag: drivers (kfold, CLI) must check this after fit()
+        # and stop — continuing to test/next-fold on a preempted run defeats
+        # the preemption save
+        self.preempted = False
 
         @contextlib.contextmanager
         def guard():
@@ -451,18 +455,20 @@ class Trainer:
                         )
                     )
                 if getattr(self, "_preempted", False):
-                    self._autosave_join()
-                    save_pytree(
-                        self.ckpts.last_path(),
-                        self._train_state_tree(
-                            epoch, best_val_loss, epochs_since_best, plateau_since_best
-                        ),
-                        backend=self.cfg.ckpt_backend,
+                    return self._preempt_return(
+                        history, epoch, best_val_loss, epochs_since_best,
+                        plateau_since_best, step=step_i,
                     )
-                    self.logger.log(epoch, {"event": "preempted", "step": step_i})
-                    return history
                 if self.cfg.fast_dev_run:
                     break
+
+            # signal between the last step and here (e.g. during the final
+            # device fetch): save before entering the (potentially long) eval
+            if getattr(self, "_preempted", False):
+                return self._preempt_return(
+                    history, epoch, best_val_loss, epochs_since_best,
+                    plateau_since_best,
+                )
 
             train_loss = float(np.mean([np.asarray(l) for l in losses]))
             tp = np.concatenate(train_probs)
@@ -529,6 +535,13 @@ class Trainer:
                     epoch + 1, best_val_loss, epochs_since_best, plateau_since_best
                 ),
             )
+            # signal during eval/figures/checkpointing: the end-of-epoch state
+            # is already on disk (save_epoch above) — just stop cleanly
+            if getattr(self, "_preempted", False):
+                self.preempted = True
+                history["preempted"] = True
+                self.logger.log(epoch, {"event": "preempted", "step": -1})
+                return history
             if stop:
                 break
 
@@ -536,6 +549,26 @@ class Trainer:
         if self.cfg.swa and self._swa_params is not None:
             self.params = self._swa_params
             save_pytree(self.ckpts.last_path(), {"params": self.params}, backend=self.cfg.ckpt_backend)
+        return history
+
+    def _preempt_return(
+        self, history: dict, epoch: int, best_val_loss: float,
+        epochs_since_best: int, plateau_since_best: int, step: int | None = None,
+    ) -> dict:
+        """Consume a preemption signal mid-epoch: persist the full train state
+        to last.ckpt and return ``history`` flagged so callers stop."""
+        self._autosave_join()
+        save_pytree(
+            self.ckpts.last_path(),
+            self._train_state_tree(
+                epoch, best_val_loss, epochs_since_best, plateau_since_best
+            ),
+            backend=self.cfg.ckpt_backend,
+        )
+        self.preempted = True
+        history = dict(history)
+        history["preempted"] = True
+        self.logger.log(epoch, {"event": "preempted", "step": -1 if step is None else step})
         return history
 
     # --------------------------------------------------------- resume support
@@ -548,14 +581,19 @@ class Trainer:
             return
         import threading
 
-        host_tree = jax.tree.map(np.asarray, jax.device_get(tree))
         self._autosave_join()  # at most one write in flight; preserves ordering
-        t = threading.Thread(
-            target=save_pytree,
-            args=(self.ckpts.last_path(), host_tree),
-            kwargs={"backend": self.cfg.ckpt_backend},
-            daemon=True,
-        )
+        host_tree = jax.tree.map(np.asarray, jax.device_get(tree))
+
+        def _write() -> None:
+            # a failed background save must not be silent: training believing
+            # it is preemption-safe while last.ckpt goes stale is worse than
+            # stopping — record the error, the next join/autosave raises it
+            try:
+                save_pytree(self.ckpts.last_path(), host_tree, backend=self.cfg.ckpt_backend)
+            except BaseException as e:  # noqa: BLE001
+                self._autosave_error = e
+
+        t = threading.Thread(target=_write, daemon=True)
         self._autosave_thread = t
         t.start()
 
@@ -563,6 +601,13 @@ class Trainer:
         t = getattr(self, "_autosave_thread", None)
         if t is not None and t.is_alive():
             t.join()
+        err = getattr(self, "_autosave_error", None)
+        if err is not None:
+            self._autosave_error = None
+            raise RuntimeError(
+                f"background autosave to {self.ckpts.last_path()} failed; "
+                "training is no longer preemption-safe"
+            ) from err
 
     def _train_state_tree(
         self, epoch: int, best_val_loss: float, epochs_since_best: int, plateau_since_best: int

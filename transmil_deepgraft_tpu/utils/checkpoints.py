@@ -67,6 +67,13 @@ def save_pytree(path: str | Path, tree: Any, backend: str = "msgpack") -> None:
 def load_pytree(path: str | Path, target: Any, backend: str | None = None) -> Any:
     """``backend=None`` autodetects: orbax checkpoints are directories."""
     path = Path(path)
+    if not path.exists():
+        # The orbax directory swap in save_pytree has a one-rename window where
+        # the checkpoint exists only under ``.old`` (kill between the two
+        # renames). Recover it transparently instead of reporting no ckpt.
+        old = path.with_name(path.name + ".old")
+        if old.exists():
+            path = old
     if backend is None:
         backend = "orbax" if path.is_dir() else "msgpack"
     if backend == "msgpack":
