@@ -41,6 +41,14 @@ def test_pipeline_int8_vs_bf16(resnet_vars, rng):
     assert scores.shape == (10,)
     np.testing.assert_allclose(probs, probs_q, atol=1e-4)
 
+    # the device-resident embed (zero feature round-trips, what
+    # predict_slide consumes) is bit-identical to the host-fetched embed
+    np.testing.assert_array_equal(np.asarray(p_int8.embed_device(tiles)), p_int8.embed(tiles))
+    # non-chunk-multiple N exercises the padded final chunk + slice
+    np.testing.assert_array_equal(
+        np.asarray(p_int8.embed_device(tiles[:7])), p_int8.embed(tiles[:7])
+    )
+
 
 def test_pipeline_fused_backbone_matches_int8(resnet_vars, rng):
     """fused_backbone=True routes through the Pallas stage kernels (interpret

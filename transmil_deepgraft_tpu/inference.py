@@ -156,15 +156,35 @@ class SlideInferencePipeline:
             feats.append(np.asarray(pending[0])[: pending[1]])
         return np.concatenate(feats)
 
+    def embed_device(self, tiles: np.ndarray) -> jax.Array:
+        """Chunked tile embedding -> (N, D) f32 features, LEFT ON DEVICE.
+
+        The slide-prediction path: per-chunk features are concatenated on
+        device and fed straight to the head, so the whole slide streams
+        tile -> embed -> head with ZERO feature round-trips (``embed()``
+        fetches ~320 chunks/slide to host — fine for offline extraction,
+        pure overhead when the head runs on the same chip, and RTT-dominated
+        over tunneled links)."""
+        embed = self._embed_u8 if tiles.dtype == np.uint8 else self._embed
+        n = tiles.shape[0]
+        outs = []
+        for start in range(0, n, self.chunk):
+            batch = tiles[start : start + self.chunk]
+            pad = self.chunk - batch.shape[0]
+            if pad:  # one compiled program for every chunk
+                batch = np.concatenate([batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)])
+            outs.append(embed(*self._embed_args, jnp.asarray(batch)))
+        return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
+
     def predict_slide(self, tiles: np.ndarray) -> np.ndarray:
         """(N, H, W, 3) tiles -> (C,) slide class probabilities."""
-        feats = self.embed(tiles)
-        return np.asarray(self._head_fwd(self.hv, jnp.asarray(feats[None])))[0]
+        feats = self.embed_device(tiles)
+        return np.asarray(self._head_fwd(self.hv, feats[None]))[0]
 
     def predict_slide_with_attention(self, tiles: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Returns (probs (C,), per-tile attention scores (N,))."""
-        feats = self.embed(tiles)
-        logits, attn = self._head_attn(self.hv, jnp.asarray(feats[None]))
+        feats = self.embed_device(tiles)
+        logits, attn = self._head_attn(self.hv, feats[None])
         probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
         scores = np.asarray(attn.tile_scores().mean(axis=1))[0]
         return probs, scores
