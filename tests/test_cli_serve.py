@@ -100,3 +100,77 @@ def test_unknown_path_404(server):
     port, _, _ = server
     status, _ = _request(port, "GET", "/nope")
     assert status == 404
+
+
+def test_concurrent_predicts_are_consistent(server):
+    """8 parallel clients, distinct bags: the device lock must serialize
+    execution without mixing up responses between threads."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    port, model, variables = server
+    rng = np.random.default_rng(3)
+    bags = [rng.standard_normal((40 + i, DIM)).astype(np.float32) for i in range(8)]
+
+    def call(feats):
+        buf = io.BytesIO()
+        np.save(buf, feats)
+        return _request(port, "POST", "/predict", body=buf.getvalue(),
+                        ctype="application/octet-stream")
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(call, bags))
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    for feats, (status, doc) in zip(bags, results):
+        assert status == 200
+        padded = np.concatenate(
+            [feats, np.zeros((64 - feats.shape[0], DIM), np.float32)]
+        )  # bucket-64 zero-pad, same policy as the bundle
+        want = np.asarray(fwd(variables, padded[None]))[0]
+        np.testing.assert_allclose(np.asarray(doc["logits"])[0], want, atol=1e-4)
+
+
+def test_predict_slide_endpoint(tmp_path):
+    """Slide bundle over HTTP: raw u8 tiles in, slide probabilities out."""
+    import jax.numpy as jnp
+
+    from transmil_deepgraft_tpu.cli.serve import make_server, warmup
+    from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+    from transmil_deepgraft_tpu.serving import ServingBundle, export_slide_bundle
+
+    backbone = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+    bv = jax.device_get(backbone.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 3))))
+    head = create_model("AttMIL", n_classes=2, in_features=2048, out_features=16)
+    hv = head.init({"params": jax.random.key(1)}, jnp.zeros((1, 8, 2048)))
+    path = tmp_path / "slide.tdx"
+    export_slide_bundle(bv, head, hv, path, model_name="AttMIL", in_features=2048,
+                        chunk=4, tile_hw=64, head_buckets=(8,), platforms=("cpu",))
+    bundle = ServingBundle.load(path)
+    warmup(bundle)  # must warm the embed exports too, not just head buckets
+
+    srv = make_server(bundle, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        tiles = np.random.default_rng(0).integers(0, 256, (6, 64, 64, 3), np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, tiles)
+        status, doc = _request(port, "POST", "/predict_slide", body=buf.getvalue(),
+                               ctype="application/octet-stream")
+        assert status == 200
+        want = bundle.predict_slide(tiles)
+        np.testing.assert_allclose(np.asarray(doc["probs"]), want, atol=1e-5)
+        assert doc["pred"] == int(np.argmax(want))
+        # feature-bag /predict still works on the same (slide) bundle
+        feats = np.asarray(bundle.embed_tiles(tiles))
+        status, doc = _request(port, "POST", "/predict",
+                               body=json.dumps({"features": feats.tolist()}))
+        assert status == 200
+        # /predict_slide on garbage input is a 400, not a crash
+        status, doc = _request(port, "POST", "/predict_slide",
+                               body=json.dumps({"tiles": [1.0]}))
+        assert status == 400 and "error" in doc
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -128,3 +128,145 @@ def test_export_cli_roundtrip(tmp_path):
         bundle.predict_logits(feats), _live_logits(model, variables, feats),
         rtol=0, atol=1e-5,
     )
+
+
+# --------------------------------------------------------------- slide bundles
+def test_slide_bundle_matches_pipeline(tmp_path):
+    """export_slide_bundle: raw tiles -> probs from the artifact alone, matching
+    the live SlideInferencePipeline (int8 backbone) on f32 AND u8 tiles."""
+    import jax.numpy as jnp
+
+    from transmil_deepgraft_tpu.inference import SlideInferencePipeline
+    from transmil_deepgraft_tpu.models import TransMIL
+    from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+    from transmil_deepgraft_tpu.serving import ServingBundle, export_slide_bundle
+
+    rng = np.random.default_rng(0)
+    backbone = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+    bv = jax.device_get(backbone.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 3))))
+    head = TransMIL(n_classes=2, in_features=2048, out_features=32)
+    hv = head.init({"params": jax.random.key(1)}, jnp.zeros((1, 8, 2048)))
+    calib = rng.standard_normal((4, 64, 64, 3)).astype(np.float32)
+
+    path = tmp_path / "slide.tdx"
+    export_slide_bundle(
+        bv, head, hv, path, model_name="TransMIL", in_features=2048,
+        calib_tiles=calib, chunk=4, tile_hw=64, head_buckets=(16, 32),
+        platforms=("cpu",),
+    )
+    bundle = ServingBundle.load(path)
+    assert bundle.meta["kind"] == "slide" and bundle.meta["backbone"] == "int8"
+
+    tiles = rng.standard_normal((10, 64, 64, 3)).astype(np.float32)
+    live = SlideInferencePipeline(bv, head, hv, calib_tiles=calib, chunk=4)
+    # identical embed (same int8 program modulo export round-trip)
+    np.testing.assert_allclose(
+        np.asarray(bundle.embed_tiles(tiles)), live.embed(tiles), atol=1e-5
+    )
+    probs = bundle.predict_slide(tiles)
+    assert probs.shape == (2,)
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
+    # head sees a 16-bucket zero-padded bag in both paths
+    feats = live.embed(tiles)
+    padded = np.concatenate([feats, np.zeros((6, 2048), np.float32)])
+    want = np.asarray(
+        jax.jit(lambda v, f: head.apply(v, f, deterministic=True))(hv, padded[None])
+    )[0]
+    np.testing.assert_allclose(bundle.predict_slide_logits(tiles), want, atol=1e-4)
+
+    # u8 raw-tile path: on-device normalization matches host normalization
+    raw = rng.integers(0, 256, (6, 64, 64, 3), np.uint8)
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    norm = (raw.astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(
+        np.asarray(bundle.embed_tiles(raw)),
+        np.asarray(bundle.embed_tiles(norm)), atol=1e-4,
+    )
+
+    # head-only predict still works on a slide bundle (feature-bag reuse)
+    lg = bundle.predict_logits(feats)
+    np.testing.assert_allclose(lg[0], want, atol=1e-4)
+
+
+def test_slide_bundle_bf16_backbone(tmp_path):
+    """calib_tiles=None exports the bf16 backbone (flax variable tree leaves)."""
+    import jax.numpy as jnp
+
+    from transmil_deepgraft_tpu.models import AttMIL
+    from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+    from transmil_deepgraft_tpu.serving import ServingBundle, export_slide_bundle
+
+    backbone = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+    bv = jax.device_get(backbone.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 3))))
+    head = AttMIL(n_classes=3, in_features=2048, out_features=16, attn_dim=8)
+    hv = head.init({"params": jax.random.key(1)}, jnp.zeros((1, 8, 2048)))
+
+    path = tmp_path / "slide_bf16.tdx"
+    export_slide_bundle(
+        bv, head, hv, path, model_name="AttMIL", in_features=2048,
+        calib_tiles=None, chunk=4, tile_hw=64, head_buckets=(8,),
+        platforms=("cpu",),
+    )
+    bundle = ServingBundle.load(path)
+    assert bundle.meta["backbone"] == "bf16"
+    tiles = np.random.default_rng(1).standard_normal((5, 64, 64, 3)).astype(np.float32)
+    probs = bundle.predict_slide(tiles)
+    assert probs.shape == (3,)
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-4)
+
+
+def test_slide_bundle_rejects_feature_mismatch(tmp_path):
+    from transmil_deepgraft_tpu.models import AttMIL
+    from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+    from transmil_deepgraft_tpu.serving import export_slide_bundle
+    import jax.numpy as jnp
+
+    backbone = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+    bv = jax.device_get(backbone.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 3))))
+    head = AttMIL(n_classes=2, in_features=512, out_features=16, attn_dim=8)
+    hv = head.init({"params": jax.random.key(1)}, jnp.zeros((1, 8, 512)))
+    with pytest.raises(ValueError, match="in_features"):
+        export_slide_bundle(
+            bv, head, hv, tmp_path / "bad.tdx", model_name="AttMIL",
+            in_features=512, chunk=4, tile_hw=64, platforms=("cpu",),
+        )
+
+
+def test_cli_export_slide_bundle(tmp_path):
+    """CLI path: --backbone_ckpt switches to a full-pipeline slide bundle."""
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from transmil_deepgraft_tpu.cli.export_model import main as export_main
+    from transmil_deepgraft_tpu.models import AttMIL
+    from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+
+    backbone = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+    bv = jax.device_get(backbone.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 3))))
+    bpath = tmp_path / "backbone.msgpack"
+    bpath.write_bytes(serialization.msgpack_serialize(bv))
+
+    # default attn_dim: the CLI rebuilds the head from --model/--*features only
+    head = AttMIL(n_classes=2, in_features=2048, out_features=16)
+    hv = jax.device_get(head.init({"params": jax.random.key(1)}, jnp.zeros((1, 8, 2048))))
+    hpath = tmp_path / "head.ckpt"
+    hpath.write_bytes(serialization.msgpack_serialize(
+        {"params": hv["params"], "model_state": {}, "epoch": 0, "metrics": {}, "hparams": {}}
+    ))
+    calib = np.random.default_rng(0).standard_normal((4, 64, 64, 3)).astype(np.float32)
+    np.save(tmp_path / "calib.npy", calib)
+
+    out = tmp_path / "slide_cli.tdx"
+    meta = export_main([
+        "--model", "AttMIL", "--ckpt", str(hpath), "--out", str(out),
+        "--n_classes", "2", "--in_features", "2048", "--out_features", "16",
+        "--backbone_ckpt", str(bpath), "--calib_tiles", str(tmp_path / "calib.npy"),
+        "--chunk", "4", "--tile_hw", "64", "--buckets", "8", "--platforms", "cpu",
+    ])
+    assert meta["kind"] == "slide" and meta["backbone"] == "int8" and out.exists()
+    bundle = ServingBundle.load(out)
+    tiles = np.random.default_rng(1).standard_normal((5, 64, 64, 3)).astype(np.float32)
+    probs = bundle.predict_slide(tiles)
+    assert probs.shape == (2,)
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)

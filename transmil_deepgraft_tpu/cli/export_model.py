@@ -40,6 +40,18 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--symbolic", choices=["auto", "always", "never"], default="auto",
                    help="length-polymorphic export (one program for all bag "
                         "lengths) vs per-bucket exports")
+    # full-pipeline (tiles -> probs) slide bundles
+    p.add_argument("--backbone_ckpt", default=None,
+                   help="ResNet50 weights (torch .pth via converter, or flax "
+                        "msgpack): exports a SLIDE bundle (raw tiles -> probs, "
+                        "serving.export_slide_bundle) instead of a head bundle")
+    p.add_argument("--calib_tiles", default=None,
+                   help=".npy of (N, H, W, 3) f32 calibration tiles for the "
+                        "int8 backbone; omit for bf16 (use >=64 mixed-class "
+                        "tiles in production, BENCHMARKS.md int8 AUC guard)")
+    p.add_argument("--chunk", type=int, default=128,
+                   help="slide bundles: tiles per embed dispatch")
+    p.add_argument("--tile_hw", type=int, default=224)
     return p
 
 
@@ -103,26 +115,56 @@ def _load_variables(path: str, model_name: str, n_classes: int, in_features: int
                      f"(top-level keys: {list(tree)[:8] if isinstance(tree, dict) else type(tree)})")
 
 
+def _load_backbone_variables(path: str) -> dict:
+    """fp32 ResNet50 {'params','batch_stats'} from torch .pth or flax msgpack."""
+    if path.endswith((".pth", ".pt")):
+        from transmil_deepgraft_tpu.utils import torch_weights as tw
+
+        return tw.convert_resnet_state_dict(tw.load_torch_checkpoint(path))
+    from flax import serialization
+
+    tree = serialization.msgpack_restore(Path(path).read_bytes())
+    if isinstance(tree, dict) and "params" in tree:
+        return tree
+    raise SystemExit(f"unrecognized backbone checkpoint structure in {path}")
+
+
 def main(argv: list[str] | None = None) -> dict:
     args = make_parser().parse_args(argv)
 
+    import numpy as np
+
     from transmil_deepgraft_tpu.models import create_model
-    from transmil_deepgraft_tpu.serving import export_serving_bundle
+    from transmil_deepgraft_tpu.serving import export_serving_bundle, export_slide_bundle
 
     model = create_model(args.model, n_classes=args.n_classes,
                          in_features=args.in_features,
                          out_features=args.out_features)
     variables = _load_variables(args.ckpt, args.model, args.n_classes,
                                 args.in_features)
-    meta = export_serving_bundle(
-        model, variables, args.out,
-        model_name=args.model,
-        in_features=args.in_features,
-        batch=args.batch,
-        buckets=[int(b) for b in args.buckets.split(",")],
-        platforms=tuple(args.platforms.split(",")),
-        symbolic={"auto": "auto", "always": True, "never": False}[args.symbolic],
-    )
+    if args.backbone_ckpt:
+        calib = np.load(args.calib_tiles) if args.calib_tiles else None
+        meta = export_slide_bundle(
+            _load_backbone_variables(args.backbone_ckpt), model, variables,
+            args.out,
+            model_name=args.model,
+            in_features=args.in_features,
+            calib_tiles=calib,
+            chunk=args.chunk,
+            tile_hw=args.tile_hw,
+            head_buckets=[int(b) for b in args.buckets.split(",")],
+            platforms=tuple(args.platforms.split(",")),
+        )
+    else:
+        meta = export_serving_bundle(
+            model, variables, args.out,
+            model_name=args.model,
+            in_features=args.in_features,
+            batch=args.batch,
+            buckets=[int(b) for b in args.buckets.split(",")],
+            platforms=tuple(args.platforms.split(",")),
+            symbolic={"auto": "auto", "always": True, "never": False}[args.symbolic],
+        )
     size = Path(args.out).stat().st_size
     print(json.dumps({**meta, "path": args.out, "bytes": size}))
     return meta

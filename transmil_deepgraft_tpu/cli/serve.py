@@ -47,11 +47,16 @@ def make_parser() -> argparse.ArgumentParser:
 def warmup(bundle) -> None:
     """Compile every bucket before accepting requests, at the bundle's
     exported batch (a 2-D bag would imply batch=1, which predict_logits
-    rejects for bundles exported with batch>1)."""
+    rejects for bundles exported with batch>1). Slide bundles also warm
+    both embed variants (f32 + u8)."""
     d = int(bundle.meta["in_features"])
     eb = int(bundle.meta.get("batch", 1))
     for b in bundle.meta["buckets"]:
         bundle.predict_logits(np.zeros((eb, b, d), np.float32))
+    if bundle.meta.get("kind") == "slide":
+        hw = int(bundle.meta["tile_hw"])
+        for dt in (np.float32, np.uint8):
+            bundle.embed_tiles(np.zeros((1, hw, hw, 3), dt))
 
 
 def _predict(bundle, lock: threading.Lock, feats: np.ndarray) -> dict:
@@ -110,7 +115,7 @@ def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path != "/predict":
+            if self.path not in ("/predict", "/predict_slide"):
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
             n = int(self.headers.get("Content-Length", 0))
@@ -118,11 +123,24 @@ def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
             try:
                 ctype = self.headers.get("Content-Type", "application/json")
                 if ctype.startswith("application/octet-stream"):
-                    feats = np.load(io.BytesIO(raw), allow_pickle=False)
+                    arr = np.load(io.BytesIO(raw), allow_pickle=False)
                 else:
                     doc = json.loads(raw)
-                    feats = np.asarray(doc.get("features", doc.get("bags")))
-                self._send(200, _predict(bundle, lock, feats))
+                    arr = np.asarray(doc.get("features", doc.get("tiles", doc.get("bags"))))
+                if self.path == "/predict_slide":
+                    # slide bundles: (N, H, W, 3) raw u8 or normalized f32
+                    # tiles -> slide probabilities (.npy body recommended;
+                    # u8 ships 4x less than f32)
+                    with lock:
+                        logits = bundle.predict_slide_logits(arr)
+                    e = np.exp(logits - logits.max())
+                    self._send(200, {
+                        "logits": logits.tolist(),
+                        "probs": (e / e.sum()).tolist(),
+                        "pred": int(np.argmax(logits)),
+                    })
+                else:
+                    self._send(200, _predict(bundle, lock, arr))
             except Exception as e:  # noqa: BLE001 - surface as HTTP 400
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 

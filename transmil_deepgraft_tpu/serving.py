@@ -142,12 +142,151 @@ def export_serving_bundle(
     return meta
 
 
+def export_slide_bundle(
+    backbone_variables: dict,
+    head_model,
+    head_variables: dict,
+    path: str | Path,
+    *,
+    model_name: str,
+    in_features: int,
+    calib_tiles: Optional[np.ndarray] = None,
+    chunk: int = 128,
+    tile_hw: int = 224,
+    truncate_after: int = 4,
+    head_buckets: Sequence[int] = DEFAULT_SERVING_BUCKETS,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+    portable: bool = True,
+) -> dict:
+    """Write a ``.tdx`` bundle serving the FULL pipeline: raw tiles -> slide
+    probabilities (``ServingBundle.predict_slide``), with no model code.
+
+    Packages the production embed stage (int8 PTQ ResNet50 when
+    ``calib_tiles`` is given — the path ``inference.SlideInferencePipeline``
+    runs — else bf16) as fixed-``chunk`` exports plus the per-bucket head
+    exports of :func:`export_serving_bundle`. The embed is exported over the
+    FLAT LEAF LIST of the backbone tree, so the loader needs no QResNet50 /
+    flax classes: the tree structure is baked into the StableHLO calling
+    convention. Two embed variants ship: ``embed_f32`` (normalized tiles) and
+    ``embed_u8`` (raw uint8 tiles, ImageNet-normalized on device — 4x less
+    host->device transfer, pairs with ``data/native_tiles.load_tiles_u8``).
+
+    Ref: the reference's serving path reloads the LightningModule + RetCCL
+    from source per host (``code/test_visualize.py:38-99``); this pins the
+    whole tile->probs computation in one artifact.
+    """
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+    from jax import export as jex
+
+    if calib_tiles is not None:
+        from transmil_deepgraft_tpu.models.resnet_int8 import (
+            apply_qresnet50,
+            build_qresnet50,
+        )
+
+        q = build_qresnet50(backbone_variables, calib_tiles, truncate_after=truncate_after)
+        embed_core, backbone_tree, precision = apply_qresnet50, q, "int8"
+    else:
+        from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+
+        bb = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0, truncate_after=truncate_after)
+        bf16_vars = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            backbone_variables,
+        )
+
+        def embed_core(v, t):
+            return bb.apply(v, t.astype(jnp.bfloat16)).astype(jnp.float32)
+
+        backbone_tree, precision = bf16_vars, "bf16"
+
+    leaves, treedef = jax.tree.flatten(backbone_tree)
+    leaves = [np.asarray(l) for l in leaves]
+
+    def embed_f32(leaf_list, tiles):
+        return embed_core(jax.tree.unflatten(treedef, leaf_list), tiles)
+
+    _mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+    _std = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+    def embed_u8(leaf_list, tiles_u8):
+        t = (tiles_u8.astype(jnp.float32) / 255.0 - _mean) / _std
+        return embed_core(jax.tree.unflatten(treedef, leaf_list), t)
+
+    leaf_specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
+    exports: dict[str, bytes] = {}
+    for key, fn, dt in (("embed_f32", embed_f32, np.float32), ("embed_u8", embed_u8, np.uint8)):
+        spec = jax.ShapeDtypeStruct((chunk, tile_hw, tile_hw, 3), dt)
+        exports[key] = jex.export(jax.jit(fn), platforms=tuple(platforms))(
+            leaf_specs, spec
+        ).serialize()
+    feature_dim = jax.eval_shape(embed_f32, leaf_specs,
+                                 jax.ShapeDtypeStruct((chunk, tile_hw, tile_hw, 3), np.float32)).shape[-1]
+    if feature_dim != in_features:
+        raise ValueError(
+            f"backbone produces {feature_dim}-d features but the head expects "
+            f"in_features={in_features}"
+        )
+
+    if portable and getattr(head_model, "fused_inference", False):
+        import dataclasses
+
+        head_model = dataclasses.replace(head_model, fused_inference=False)
+    head_fwd = jax.jit(_eval_forward(head_model, model_name in ("DTFD", "DTFDMIL")))
+    head_specs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), head_variables
+    )
+    head_buckets = tuple(sorted(int(b) for b in head_buckets))
+    for b in head_buckets:
+        spec = jax.ShapeDtypeStruct((1, b, in_features), np.float32)
+        exports[str(b)] = jex.export(head_fwd, platforms=tuple(platforms))(
+            head_specs, spec
+        ).serialize()
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "slide",
+        "model_name": model_name,
+        "in_features": int(in_features),
+        "batch": 1,
+        "mode": "bucketed",
+        "buckets": list(head_buckets),
+        "chunk": int(chunk),
+        "tile_hw": int(tile_hw),
+        "backbone": precision,
+        "platforms": list(platforms),
+        "portable": bool(portable),
+        "jax_version": jax.__version__,
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as z:
+        z.writestr("meta.json", json.dumps(meta, indent=1))
+        z.writestr(
+            "variables.msgpack",
+            serialization.msgpack_serialize(
+                {"backbone_leaves": leaves, "head": head_variables}
+            ),
+        )
+        for key, blob in exports.items():
+            z.writestr(f"exported/{key}.jexp", blob)
+    return meta
+
+
 class ServingBundle:
     """Loaded ``.tdx`` bundle: ``predict(feats)`` with no model code needed.
 
     Exports deserialize lazily (first call per bucket) and the compiled
     calls are cached, so a long-running server pays each bucket's XLA
     compile exactly once.
+
+    Slide bundles (``export_slide_bundle``) additionally expose
+    ``predict_slide(tiles)``: raw tiles stream through the exported embed in
+    fixed chunks, features stay on device, and the exported head finishes the
+    slide — the full production pipeline from one artifact.
     """
 
     def __init__(self, meta: dict, variables: dict, exports: dict[str, bytes]):
@@ -166,6 +305,10 @@ class ServingBundle:
 
             self._device_variables = jax.device_put(self.variables)
         return self._device_variables
+
+    def _dev_head_vars(self):
+        dev = self._dev_vars()
+        return dev["head"] if self.meta.get("kind") == "slide" else dev
 
     @classmethod
     def load(cls, path: str | Path) -> "ServingBundle":
@@ -224,10 +367,60 @@ class ServingBundle:
                 [feats, np.zeros((b, target - n, d), np.float32)], axis=1
             )
         key = "symbolic" if self.meta["mode"] == "symbolic" else str(target)
-        return np.asarray(self._call_for(key)(self._dev_vars(), feats))
+        return np.asarray(self._call_for(key)(self._dev_head_vars(), feats))
 
     def predict(self, feats: np.ndarray) -> np.ndarray:
         """(n, D) or (B, n, D) features -> (B, C) class probabilities."""
         logits = self.predict_logits(feats)
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+    # ------------------------------------------------------- slide bundles
+    def embed_tiles(self, tiles: np.ndarray):
+        """(N, H, W, 3) float32 (normalized) or uint8 (raw) tiles -> (N, D)
+        features, LEFT ON DEVICE (a jax array): the chunked exported embed
+        with device-side concatenation, zero feature round-trips."""
+        if self.meta.get("kind") != "slide":
+            raise ValueError("not a slide bundle: export with export_slide_bundle")
+        import jax.numpy as jnp
+
+        hw = int(self.meta["tile_hw"])
+        tiles = np.asarray(tiles)
+        if tiles.dtype != np.uint8:
+            tiles = tiles.astype(np.float32, copy=False)  # exports are dtype-exact
+        if tiles.ndim != 4 or tiles.shape[1:] != (hw, hw, 3):
+            raise ValueError(f"expected tiles (N, {hw}, {hw}, 3), got {tiles.shape}")
+        call = self._call_for("embed_u8" if tiles.dtype == np.uint8 else "embed_f32")
+        # list(): msgpack restore may hand the leaf sequence back as a tuple,
+        # which is a different pytree structure than the exported list
+        leaves = list(self._dev_vars()["backbone_leaves"])
+        chunk = int(self.meta["chunk"])
+        n = tiles.shape[0]
+        outs = []
+        for start in range(0, n, chunk):
+            batch = tiles[start : start + chunk]
+            pad = chunk - batch.shape[0]
+            if pad:  # one compiled program for every chunk
+                batch = np.concatenate(
+                    [batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)]
+                )
+            outs.append(call(leaves, batch))
+        return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
+
+    def predict_slide_logits(self, tiles: np.ndarray) -> np.ndarray:
+        """(N, H, W, 3) tiles (f32 normalized or u8 raw) -> (C,) slide logits."""
+        import jax.numpy as jnp
+
+        feats = self.embed_tiles(tiles)
+        n = feats.shape[0]
+        target = self._pad_target(n)
+        if target != n:  # zero-pad the bag ON DEVICE to the head bucket
+            feats = jnp.pad(feats, ((0, target - n), (0, 0)))
+        key = "symbolic" if self.meta["mode"] == "symbolic" else str(target)
+        return np.asarray(self._call_for(key)(self._dev_head_vars(), feats[None]))[0]
+
+    def predict_slide(self, tiles: np.ndarray) -> np.ndarray:
+        """(N, H, W, 3) tiles -> (C,) slide class probabilities."""
+        logits = self.predict_slide_logits(tiles)
         e = np.exp(logits - logits.max(axis=-1, keepdims=True))
         return e / e.sum(axis=-1, keepdims=True)
