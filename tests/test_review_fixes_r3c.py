@@ -162,3 +162,36 @@ def test_native_build_falls_back_to_cache_dir(tmp_path, monkeypatch):
     assert str(lib).startswith(str(tmp_path / "cache"))
     # second call: reuses the cached build (content hash unchanged)
     assert nb.ensure_native_lib("bagstore", ["bagstore.cpp"]) == lib
+
+
+def test_cli_train_reports_preemption_and_skips_test(tmp_path):
+    """SIGTERM during `transmil-train --stage train`: the CLI returns the
+    preemption event, does NOT evaluate half-trained weights, and a
+    --resume_training rerun completes normally from last.ckpt."""
+    import signal
+    import threading
+
+    import yaml
+
+    from transmil_deepgraft_tpu.cli.train import main as train_main
+
+    base = Path("/root/repo/transmil_deepgraft_tpu/configs/synthetic_attmil_norm_rest.yaml")
+    cfg = yaml.safe_load(base.read_text())
+    cfg["General"]["epochs"] = 10_000  # run "forever" until the signal lands
+    cfg_path = tmp_path / "synthetic_attmil_norm_rest.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    log_dir = tmp_path / "run"
+
+    threading.Timer(8.0, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+    out = train_main(["--stage", "train", "--config", str(cfg_path),
+                      "--log_dir", str(log_dir)])
+    assert out.get("event") == "preempted"
+    assert (log_dir / "checkpoints" / "last.ckpt").exists()
+    # the test stage must not have run on half-trained weights
+    assert not list(log_dir.glob("**/TEST_RESULT_*.csv"))
+
+    cfg["General"]["epochs"] = 1
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out2 = train_main(["--stage", "train", "--config", str(cfg_path),
+                       "--log_dir", str(log_dir), "--resume_training"])
+    assert "event" not in out2 and "test_patient_auroc" in out2
