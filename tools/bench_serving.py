@@ -40,6 +40,10 @@ def main() -> None:
     p.add_argument("--model", default="TransMIL")
     p.add_argument("--in_features", type=int, default=2048)
     p.add_argument("--buckets", default="1024,4096,16384")
+    p.add_argument("--slide", action="store_true",
+                   help="also bench a full-pipeline slide bundle "
+                        "(int8 embed exports; slower to build)")
+    p.add_argument("--slide_tiles", type=int, default=1024)
     p.add_argument("--out", default=None, help="write the JSON rows here too")
     args = p.parse_args()
     buckets = tuple(int(b) for b in args.buckets.split(","))
@@ -98,6 +102,35 @@ def main() -> None:
         print(json.dumps(rows[-1]), flush=True)
     srv.shutdown()
     srv.server_close()
+
+    if args.slide:
+        # full-pipeline slide bundle: raw u8 tiles -> slide probs from the
+        # artifact (int8 embed exports + bucketed head)
+        import jax.numpy as jnp
+
+        from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+        from transmil_deepgraft_tpu.serving import export_slide_bundle
+
+        backbone = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+        bv = jax.device_get(
+            backbone.init({"params": jax.random.key(0)}, jnp.zeros((1, 224, 224, 3)))
+        )
+        calib = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
+        spath = "/tmp/bench_serving_slide.tdx"
+        export_slide_bundle(
+            bv, model, variables, spath, model_name=args.model,
+            in_features=args.in_features, calib_tiles=calib, chunk=128,
+            head_buckets=buckets,
+        )
+        sb = ServingBundle.load(spath)
+        n = args.slide_tiles
+        tiles_u8 = rng.integers(0, 256, (n, 224, 224, 3), np.uint8)
+        sb.predict_slide(tiles_u8)  # compile embed + head bucket
+        ms = time_min(lambda: sb.predict_slide(tiles_u8), reps=3) * 1e3
+        rows.append({"path": "slide_bundle.predict_slide_u8", "tiles": n,
+                     "ms": round(ms, 2)})
+        print(json.dumps(rows[-1]), flush=True)
+
     if args.out:
         Path(args.out).write_text("\n".join(json.dumps(r) for r in rows))
 
