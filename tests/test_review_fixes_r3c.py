@@ -195,3 +195,14 @@ def test_cli_train_reports_preemption_and_skips_test(tmp_path):
     out2 = train_main(["--stage", "train", "--config", str(cfg_path),
                        "--log_dir", str(log_dir), "--resume_training"])
     assert "event" not in out2 and "test_patient_auroc" in out2
+
+
+def test_init_multihost_single_process_noop():
+    """init_multihost in a single-process run: no crash, identity indices,
+    and the mesh helpers keep working afterwards."""
+    from transmil_deepgraft_tpu.parallel.mesh import init_multihost, make_mesh
+
+    idx, count = init_multihost()
+    assert (idx, count) == (0, 1)
+    mesh = make_mesh(sp=1)
+    assert mesh.shape["dp"] == len(jax.devices())

@@ -18,12 +18,50 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> tuple[int, int]:
+    """Join a multi-host TPU job; returns (process_index, process_count).
+
+    On TPU pods/slices the runtime provides everything and a bare
+    ``jax.distributed.initialize()`` suffices (args are only needed for
+    CPU/GPU clusters). Call ONCE, before any jax computation; safe to call in
+    single-process runs (falls through untouched). After this,
+    ``jax.devices()`` is global, :func:`make_mesh` spans the slice, GSPMD
+    collectives ride ICI/DCN, and the input pipeline shards per host via
+    ``data.pipeline.shard_for_host`` (which reads ``jax.process_index()``).
+    Replaces the reference's Lightning/NCCL process-group setup
+    (``code/train.py:177-201``).
+    """
+    if jax.process_count() > 1:  # already initialized
+        return jax.process_index(), jax.process_count()
+    if coordinator_address or (num_processes or 1) > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    else:
+        try:  # TPU pod: env provides coordination
+            jax.distributed.initialize()
+        except Exception:  # single-process (CPU dev, one chip): nothing to join
+            pass
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(
     devices: Sequence[jax.Device] | None = None,
     dp: int | None = None,
     sp: int = 1,
 ) -> Mesh:
-    """Mesh with axes ('dp', 'sp'). Default: all devices on dp, sp=1."""
+    """Mesh with axes ('dp', 'sp'). Default: all devices on dp, sp=1.
+
+    Multi-host: pass ``jax.devices()`` AFTER :func:`init_multihost` — the
+    global device list builds one mesh spanning every host; per-host batch
+    feeding composes with ``shard_batch`` (GSPMD assembles the global array
+    from per-host shards)."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
