@@ -167,6 +167,8 @@ class SlideInferencePipeline:
         over tunneled links)."""
         embed = self._embed_u8 if tiles.dtype == np.uint8 else self._embed
         n = tiles.shape[0]
+        if n == 0:
+            raise ValueError("empty tile batch")
         outs = []
         for start in range(0, n, self.chunk):
             batch = tiles[start : start + self.chunk]

@@ -390,6 +390,8 @@ class ServingBundle:
             tiles = tiles.astype(np.float32, copy=False)  # exports are dtype-exact
         if tiles.ndim != 4 or tiles.shape[1:] != (hw, hw, 3):
             raise ValueError(f"expected tiles (N, {hw}, {hw}, 3), got {tiles.shape}")
+        if tiles.shape[0] == 0:
+            raise ValueError("empty tile batch")
         call = self._call_for("embed_u8" if tiles.dtype == np.uint8 else "embed_f32")
         # list(): msgpack restore may hand the leaf sequence back as a tuple,
         # which is a different pytree structure than the exported list
