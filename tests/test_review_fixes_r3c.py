@@ -175,16 +175,32 @@ def test_cli_train_reports_preemption_and_skips_test(tmp_path):
 
     from transmil_deepgraft_tpu.cli.train import main as train_main
 
-    base = Path("/root/repo/transmil_deepgraft_tpu/configs/synthetic_attmil_norm_rest.yaml")
+    base = (Path(__file__).parent.parent / "transmil_deepgraft_tpu" / "configs"
+            / "synthetic_attmil_norm_rest.yaml")
     cfg = yaml.safe_load(base.read_text())
     cfg["General"]["epochs"] = 10_000  # run "forever" until the signal lands
     cfg_path = tmp_path / "synthetic_attmil_norm_rest.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
     log_dir = tmp_path / "run"
 
-    threading.Timer(8.0, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
-    out = train_main(["--stage", "train", "--config", str(cfg_path),
-                      "--log_dir", str(log_dir)])
+    # Benign SIGTERM handler + repeating sender: if a signal lands before the
+    # trainer installs its handler (slow startup on a loaded host) it is
+    # ignored and the NEXT one triggers the preemption path; everything is
+    # torn down in finally so stray signals can't kill later tests.
+    prev = signal.signal(signal.SIGTERM, lambda *a: None)
+    stop = threading.Event()
+
+    def sender():
+        while not stop.wait(8.0):
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    threading.Thread(target=sender, daemon=True).start()
+    try:
+        out = train_main(["--stage", "train", "--config", str(cfg_path),
+                          "--log_dir", str(log_dir)])
+    finally:
+        stop.set()
+        signal.signal(signal.SIGTERM, prev)
     assert out.get("event") == "preempted"
     assert (log_dir / "checkpoints" / "last.ckpt").exists()
     # the test stage must not have run on half-trained weights

@@ -183,6 +183,17 @@ def test_slide_bundle_matches_pipeline(tmp_path):
         np.asarray(bundle.embed_tiles(raw)),
         np.asarray(bundle.embed_tiles(norm)), atol=1e-4,
     )
+    # wider-int raw pixels (e.g. JSON-decoded) route through the u8 path,
+    # NOT the f32 export (which expects normalized inputs)
+    np.testing.assert_array_equal(
+        np.asarray(bundle.embed_tiles(raw.astype(np.int64))),
+        np.asarray(bundle.embed_tiles(raw)),
+    )
+    with pytest.raises(ValueError, match="raw pixels"):
+        bundle.embed_tiles(np.full((1, 64, 64, 3), 300, np.int64))
+    # oversized bags fail fast (before the embed), naming the bucket cap
+    with pytest.raises(ValueError, match="largest exported bucket"):
+        bundle.predict_slide_logits(np.zeros((100, 64, 64, 3), np.float32))
 
     # head-only predict still works on a slide bundle (feature-bag reuse)
     lg = bundle.predict_logits(feats)

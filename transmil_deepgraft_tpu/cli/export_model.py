@@ -143,6 +143,14 @@ def main(argv: list[str] | None = None) -> dict:
     variables = _load_variables(args.ckpt, args.model, args.n_classes,
                                 args.in_features)
     if args.backbone_ckpt:
+        # slide bundles are batch-1 bucketed by construction: refuse flags
+        # that would otherwise be silently dropped
+        if args.batch != 1:
+            raise SystemExit("--batch is not supported with --backbone_ckpt "
+                             "(slide bundles serve one slide per call)")
+        if args.symbolic != "auto":
+            raise SystemExit("--symbolic is not supported with --backbone_ckpt "
+                             "(the embed export requires fixed chunks)")
         calib = np.load(args.calib_tiles) if args.calib_tiles else None
         meta = export_slide_bundle(
             _load_backbone_variables(args.backbone_ckpt), model, variables,

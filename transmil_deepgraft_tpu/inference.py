@@ -12,11 +12,34 @@ InferenceModel: backbone + mil head) with TPU-first execution.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from transmil_deepgraft_tpu.data.native_tiles import IMAGENET_MEAN, IMAGENET_STD
+
+
+def chunked_device_embed(
+    call: Callable[[np.ndarray], jax.Array], tiles: np.ndarray, chunk: int
+) -> jax.Array:
+    """Run ``call`` over ``tiles`` in fixed ``chunk``-size batches (zero-pad
+    the last), concatenating features ON DEVICE — the shared slide-embed loop
+    of ``SlideInferencePipeline.embed_device`` and
+    ``ServingBundle.embed_tiles`` (one compiled program per chunk size, zero
+    feature round-trips)."""
+    n = tiles.shape[0]
+    if n == 0:
+        raise ValueError("empty tile batch")
+    outs = []
+    for start in range(0, n, chunk):
+        batch = tiles[start : start + chunk]
+        pad = chunk - batch.shape[0]
+        if pad:
+            batch = np.concatenate([batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)])
+        outs.append(call(batch))
+    return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
 
 
 class SlideInferencePipeline:
@@ -117,8 +140,8 @@ class SlideInferencePipeline:
         # uint8 serving path: raw u8 tiles ship 4x less host->device data;
         # ImageNet normalization runs ON DEVICE (data/native_tiles.load_tiles_u8
         # produces the matching raw tiles)
-        _mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-        _std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+        _mean = jnp.asarray(IMAGENET_MEAN)
+        _std = jnp.asarray(IMAGENET_STD)
         self._embed_u8 = jax.jit(
             lambda *a: embed_core(
                 *a[:-1], (a[-1].astype(jnp.float32) / 255.0 - _mean) / _std
@@ -166,17 +189,9 @@ class SlideInferencePipeline:
         pure overhead when the head runs on the same chip, and RTT-dominated
         over tunneled links)."""
         embed = self._embed_u8 if tiles.dtype == np.uint8 else self._embed
-        n = tiles.shape[0]
-        if n == 0:
-            raise ValueError("empty tile batch")
-        outs = []
-        for start in range(0, n, self.chunk):
-            batch = tiles[start : start + self.chunk]
-            pad = self.chunk - batch.shape[0]
-            if pad:  # one compiled program for every chunk
-                batch = np.concatenate([batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)])
-            outs.append(embed(*self._embed_args, jnp.asarray(batch)))
-        return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
+        return chunked_device_embed(
+            lambda b: embed(*self._embed_args, jnp.asarray(b)), tiles, self.chunk
+        )
 
     def predict_slide(self, tiles: np.ndarray) -> np.ndarray:
         """(N, H, W, 3) tiles -> (C,) slide class probabilities."""

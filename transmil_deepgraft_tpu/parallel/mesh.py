@@ -18,6 +18,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _cluster_env_detected() -> bool:
+    """Best-effort: does the environment look like a multi-process job?"""
+    import os
+
+    if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
+        return True
+    for var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+        try:
+            if int(os.environ.get(var, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    return "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+
+
 def init_multihost(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -26,28 +41,46 @@ def init_multihost(
     """Join a multi-host TPU job; returns (process_index, process_count).
 
     On TPU pods/slices the runtime provides everything and a bare
-    ``jax.distributed.initialize()`` suffices (args are only needed for
-    CPU/GPU clusters). Call ONCE, before any jax computation; safe to call in
-    single-process runs (falls through untouched). After this,
-    ``jax.devices()`` is global, :func:`make_mesh` spans the slice, GSPMD
-    collectives ride ICI/DCN, and the input pipeline shards per host via
-    ``data.pipeline.shard_for_host`` (which reads ``jax.process_index()``).
-    Replaces the reference's Lightning/NCCL process-group setup
-    (``code/train.py:177-201``).
+    ``init_multihost()`` suffices (args are only needed for CPU/GPU
+    clusters). Call FIRST — before any jax computation — because joining is
+    impossible once the local XLA backend is initialized (this function does
+    not itself touch the backend before joining); safe to call in
+    single-process runs (no-op). After this, ``jax.devices()`` is global,
+    :func:`make_mesh` spans the slice, GSPMD collectives ride ICI/DCN, and
+    the input pipeline shards per host via ``data.pipeline.shard_for_host``
+    (which reads ``jax.process_index()``). Replaces the reference's
+    Lightning/NCCL process-group setup (``code/train.py:177-201``).
     """
-    if jax.process_count() > 1:  # already initialized
-        return jax.process_index(), jax.process_count()
-    if coordinator_address or (num_processes or 1) > 1:
+    explicit = bool(coordinator_address) or (num_processes or 1) > 1
+    try:
+        from jax._src import xla_bridge as _xb
+
+        backend_up = _xb.backends_are_initialized()
+    except Exception:  # private API moved: fall back to attempting the join
+        backend_up = False
+    if backend_up:
+        if jax.process_count() > 1:  # some earlier call already joined
+            return jax.process_index(), jax.process_count()
+        if explicit or _cluster_env_detected():
+            # Joining now is impossible, and silently running N independent
+            # single-host jobs (each seeing the full dataset) is the worst
+            # failure mode — refuse instead.
+            raise RuntimeError(
+                "init_multihost() must run before any JAX computation "
+                "initializes the XLA backend (a multi-process environment "
+                "was requested/detected but the local backend is already up)"
+            )
+        return jax.process_index(), jax.process_count()  # single-process dev
+    try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    else:
-        try:  # TPU pod: env provides coordination
-            jax.distributed.initialize()
-        except Exception:  # single-process (CPU dev, one chip): nothing to join
-            pass
+    except Exception:
+        if explicit or _cluster_env_detected():
+            raise  # a requested/real cluster join must not fail silently
+        # argless auto-detect found no cluster: plain single-process run
     return jax.process_index(), jax.process_count()
 
 

@@ -43,6 +43,9 @@ FORMAT_VERSION = 1
 # feature bags below 256 zero-pad up; slides beyond 16384 tiles are served by
 # the raw-tile pipeline (inference.SlideInferencePipeline), not a feature bundle.
 DEFAULT_SERVING_BUCKETS: tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192, 16384)
+# Slide bundles ARE the raw-tile pipeline, so their head buckets must cover
+# full-slide tile counts (a 40,960-tile slide is the headline workload).
+SLIDE_SERVING_BUCKETS: tuple[int, ...] = DEFAULT_SERVING_BUCKETS + (32768, 65536)
 
 
 def _eval_forward(model, is_dtfd: bool):
@@ -154,7 +157,7 @@ def export_slide_bundle(
     chunk: int = 128,
     tile_hw: int = 224,
     truncate_after: int = 4,
-    head_buckets: Sequence[int] = DEFAULT_SERVING_BUCKETS,
+    head_buckets: Sequence[int] = SLIDE_SERVING_BUCKETS,
     platforms: Sequence[str] = ("tpu", "cpu"),
     portable: bool = True,
 ) -> dict:
@@ -209,20 +212,16 @@ def export_slide_bundle(
     def embed_f32(leaf_list, tiles):
         return embed_core(jax.tree.unflatten(treedef, leaf_list), tiles)
 
-    _mean = np.asarray([0.485, 0.456, 0.406], np.float32)
-    _std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    from transmil_deepgraft_tpu.data.native_tiles import IMAGENET_MEAN as _mean
+    from transmil_deepgraft_tpu.data.native_tiles import IMAGENET_STD as _std
 
     def embed_u8(leaf_list, tiles_u8):
         t = (tiles_u8.astype(jnp.float32) / 255.0 - _mean) / _std
         return embed_core(jax.tree.unflatten(treedef, leaf_list), t)
 
     leaf_specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
-    exports: dict[str, bytes] = {}
-    for key, fn, dt in (("embed_f32", embed_f32, np.float32), ("embed_u8", embed_u8, np.uint8)):
-        spec = jax.ShapeDtypeStruct((chunk, tile_hw, tile_hw, 3), dt)
-        exports[key] = jex.export(jax.jit(fn), platforms=tuple(platforms))(
-            leaf_specs, spec
-        ).serialize()
+    # validate the backbone/head seam BEFORE the expensive exports: eval_shape
+    # is near-free, a full ResNet50 export trace is not
     feature_dim = jax.eval_shape(embed_f32, leaf_specs,
                                  jax.ShapeDtypeStruct((chunk, tile_hw, tile_hw, 3), np.float32)).shape[-1]
     if feature_dim != in_features:
@@ -230,6 +229,12 @@ def export_slide_bundle(
             f"backbone produces {feature_dim}-d features but the head expects "
             f"in_features={in_features}"
         )
+    exports: dict[str, bytes] = {}
+    for key, fn, dt in (("embed_f32", embed_f32, np.float32), ("embed_u8", embed_u8, np.uint8)):
+        spec = jax.ShapeDtypeStruct((chunk, tile_hw, tile_hw, 3), dt)
+        exports[key] = jex.export(jax.jit(fn), platforms=tuple(platforms))(
+            leaf_specs, spec
+        ).serialize()
 
     if portable and getattr(head_model, "fused_inference", False):
         import dataclasses
@@ -382,40 +387,40 @@ class ServingBundle:
         with device-side concatenation, zero feature round-trips."""
         if self.meta.get("kind") != "slide":
             raise ValueError("not a slide bundle: export with export_slide_bundle")
-        import jax.numpy as jnp
+        from transmil_deepgraft_tpu.inference import chunked_device_embed
 
         hw = int(self.meta["tile_hw"])
         tiles = np.asarray(tiles)
-        if tiles.dtype != np.uint8:
+        if np.issubdtype(tiles.dtype, np.integer) and tiles.dtype != np.uint8:
+            # e.g. JSON-decoded raw pixels arrive as int64: raw pixels belong
+            # on the u8 path (on-device normalization) — silently casting
+            # them to f32 would feed UNNORMALIZED values to the f32 export
+            if tiles.size and (tiles.min() < 0 or tiles.max() > 255):
+                raise ValueError(
+                    "integer tiles must be raw pixels in [0, 255] (uint8 "
+                    "path); send float32 for pre-normalized tiles"
+                )
+            tiles = tiles.astype(np.uint8)
+        elif tiles.dtype != np.uint8:
             tiles = tiles.astype(np.float32, copy=False)  # exports are dtype-exact
         if tiles.ndim != 4 or tiles.shape[1:] != (hw, hw, 3):
             raise ValueError(f"expected tiles (N, {hw}, {hw}, 3), got {tiles.shape}")
-        if tiles.shape[0] == 0:
-            raise ValueError("empty tile batch")
         call = self._call_for("embed_u8" if tiles.dtype == np.uint8 else "embed_f32")
         # list(): msgpack restore may hand the leaf sequence back as a tuple,
         # which is a different pytree structure than the exported list
         leaves = list(self._dev_vars()["backbone_leaves"])
-        chunk = int(self.meta["chunk"])
-        n = tiles.shape[0]
-        outs = []
-        for start in range(0, n, chunk):
-            batch = tiles[start : start + chunk]
-            pad = chunk - batch.shape[0]
-            if pad:  # one compiled program for every chunk
-                batch = np.concatenate(
-                    [batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)]
-                )
-            outs.append(call(leaves, batch))
-        return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
+        return chunked_device_embed(
+            lambda b: call(leaves, b), tiles, int(self.meta["chunk"])
+        )
 
     def predict_slide_logits(self, tiles: np.ndarray) -> np.ndarray:
         """(N, H, W, 3) tiles (f32 normalized or u8 raw) -> (C,) slide logits."""
         import jax.numpy as jnp
 
+        n = int(np.shape(tiles)[0])
+        target = self._pad_target(n)  # BEFORE the ~seconds-long embed: a bag
+        # beyond the largest exported bucket must fail fast, not post-embed
         feats = self.embed_tiles(tiles)
-        n = feats.shape[0]
-        target = self._pad_target(n)
         if target != n:  # zero-pad the bag ON DEVICE to the head bucket
             feats = jnp.pad(feats, ((0, target - n), (0, 0)))
         key = "symbolic" if self.meta["mode"] == "symbolic" else str(target)
