@@ -222,3 +222,19 @@ def test_init_multihost_single_process_noop():
     assert (idx, count) == (0, 1)
     mesh = make_mesh(sp=1)
     assert mesh.shape["dp"] == len(jax.devices())
+
+
+def test_init_multihost_refuses_late_join(monkeypatch):
+    """With a cluster environment detected but the XLA backend already up
+    (too late to join), init_multihost must raise — silently running N
+    independent single-host jobs is the failure mode this guards."""
+    from transmil_deepgraft_tpu.parallel.mesh import init_multihost
+
+    jax.devices()  # ensure the backend is initialized
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    with pytest.raises(RuntimeError, match="before any JAX computation"):
+        init_multihost()
+    # explicit args behave the same
+    with pytest.raises(RuntimeError, match="before any JAX computation"):
+        init_multihost(coordinator_address="127.0.0.1:1234", num_processes=2,
+                       process_id=0)
