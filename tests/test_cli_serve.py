@@ -174,3 +174,33 @@ def test_predict_slide_endpoint(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_metrics_endpoint(server):
+    """GET /metrics: Prometheus text format with request counters and a
+    latency histogram that actually counts the requests made."""
+    port, _, _ = server
+    feats = np.random.default_rng(7).standard_normal((30, DIM)).astype(np.float32)
+    _request(port, "POST", "/predict", body=json.dumps({"features": feats.tolist()}))
+    _request(port, "POST", "/predict", body=b"garbage")  # a 400
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/metrics")
+    r = conn.getresponse()
+    text = r.read().decode()
+    conn.close()
+    assert r.status == 200 and r.headers["Content-Type"].startswith("text/plain")
+    ok = err = 0
+    for line in text.splitlines():
+        if line.startswith('transmil_requests_total{endpoint="/predict",status="200"}'):
+            ok = int(line.rsplit(" ", 1)[1])
+        if line.startswith('transmil_requests_total{endpoint="/predict",status="400"}'):
+            err = int(line.rsplit(" ", 1)[1])
+    assert ok >= 1 and err >= 1
+    # histogram invariants: +Inf cumulative count == total count
+    inf = [l for l in text.splitlines()
+           if l.startswith('transmil_request_seconds_bucket{endpoint="/predict",le="+Inf"}')]
+    cnt = [l for l in text.splitlines()
+           if l.startswith('transmil_request_seconds_count{endpoint="/predict"}')]
+    assert inf and cnt and inf[0].rsplit(" ", 1)[1] == cnt[0].rsplit(" ", 1)[1]
+    assert "transmil_uptime_seconds" in text

@@ -29,6 +29,7 @@ import argparse
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -86,8 +87,65 @@ def _predict(bundle, lock: threading.Lock, feats: np.ndarray) -> dict:
     }
 
 
+class _Metrics:
+    """Request counters + latency histogram, exposed in Prometheus text
+    format at ``GET /metrics`` (stdlib-only, like the rest of the daemon)."""
+
+    BUCKETS = (0.005, 0.025, 0.1, 0.5, 1.0, 2.5, 5.0, 10.0)
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.requests: dict[tuple[str, int], int] = {}
+        self.hist: dict[str, list[int]] = {}  # endpoint -> per-bucket counts + inf
+        self.sum_s: dict[str, float] = {}
+        self.started = time.time()
+
+    def observe(self, endpoint: str, status: int, seconds: float) -> None:
+        with self._lock:
+            key = (endpoint, status)
+            self.requests[key] = self.requests.get(key, 0) + 1
+            h = self.hist.setdefault(endpoint, [0] * (len(self.BUCKETS) + 1))
+            for i, b in enumerate(self.BUCKETS):
+                if seconds <= b:
+                    h[i] += 1
+                    break
+            else:
+                h[-1] += 1
+            self.sum_s[endpoint] = self.sum_s.get(endpoint, 0.0) + seconds
+
+    def render(self) -> str:
+        with self._lock:
+            lines = [
+                "# TYPE transmil_requests_total counter",
+            ]
+            for (ep, status), n in sorted(self.requests.items()):
+                lines.append(
+                    f'transmil_requests_total{{endpoint="{ep}",status="{status}"}} {n}'
+                )
+            lines.append("# TYPE transmil_request_seconds histogram")
+            for ep, h in sorted(self.hist.items()):
+                cum = 0
+                for b, n in zip(self.BUCKETS, h):
+                    cum += n
+                    lines.append(
+                        f'transmil_request_seconds_bucket{{endpoint="{ep}",le="{b}"}} {cum}'
+                    )
+                cum += h[-1]
+                lines.append(
+                    f'transmil_request_seconds_bucket{{endpoint="{ep}",le="+Inf"}} {cum}'
+                )
+                lines.append(
+                    f'transmil_request_seconds_sum{{endpoint="{ep}"}} {self.sum_s[ep]:.6f}'
+                )
+                lines.append(f'transmil_request_seconds_count{{endpoint="{ep}"}} {cum}')
+            lines.append("# TYPE transmil_uptime_seconds gauge")
+            lines.append(f"transmil_uptime_seconds {time.time() - self.started:.1f}")
+            return "\n".join(lines) + "\n"
+
+
 def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
     lock = threading.Lock()
+    metrics = _Metrics()
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
@@ -111,6 +169,13 @@ def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
                 })
             elif self.path == "/meta":
                 self._send(200, bundle.meta)
+            elif self.path == "/metrics":
+                body = metrics.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -118,6 +183,8 @@ def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
             if self.path not in ("/predict", "/predict_slide"):
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
+            t0 = time.perf_counter()
+            status = 200
             n = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(n)
             try:
@@ -142,7 +209,10 @@ def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
                 else:
                     self._send(200, _predict(bundle, lock, arr))
             except Exception as e:  # noqa: BLE001 - surface as HTTP 400
+                status = 400
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            finally:
+                metrics.observe(self.path, status, time.perf_counter() - t0)
 
     return ThreadingHTTPServer((host, port), Handler)
 
