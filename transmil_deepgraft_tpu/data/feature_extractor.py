@@ -173,7 +173,8 @@ def extract_cohort(
             variants.append((f"{name}_aug{a}", np.random.default_rng((seed, i, a))))
         for vname, rng in variants:
             feats, coords = extract_slide_features(
-                embed_fn, tiles, batch_size=batch_size, augment_rng=rng
+                embed_fn, tiles, batch_size=batch_size, augment_rng=rng,
+                tile_size=getattr(dataset, "tile_size", 224),
             )
             path = out_dir / f"{vname}.h5"
             with h5py.File(path, "w") as f:
