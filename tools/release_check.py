@@ -113,6 +113,12 @@ def wheel_contents() -> None:
         assert "cli._entry" in txt and ":main" not in txt, "scripts must use _entry shims"
 
 
+def coverage_citations() -> None:
+    import coverage_check
+
+    assert coverage_check.main() == 0, "COVERAGE.md cites missing paths"
+
+
 def main() -> int:
     check("CLI --help surface", clis)
     check("config pack parses", config_pack)
@@ -121,6 +127,7 @@ def main() -> int:
     check("model registry constructs", model_registry)
     check("driver entry points", driver_entry)
     check("wheel ships configs+native", wheel_contents)
+    check("COVERAGE.md citations exist", coverage_citations)
     if FAILS:
         print(f"\n{len(FAILS)} check(s) failed: {FAILS}")
         return 1
