@@ -162,6 +162,13 @@ def test_predict_slide_endpoint(tmp_path):
         want = bundle.predict_slide(tiles)
         np.testing.assert_allclose(np.asarray(doc["probs"]), want, atol=1e-5)
         assert doc["pred"] == int(np.argmax(want))
+        # attention-enabled bundles additionally return top-k tiles, matching
+        # the in-process attention scores
+        _, scores = bundle.predict_slide_with_attention(tiles)
+        assert doc["topk_tiles"] == np.argsort(scores)[::-1][:6].tolist()
+        np.testing.assert_allclose(
+            doc["topk_scores"], np.sort(scores)[::-1][:6], atol=1e-6
+        )
         # feature-bag /predict still works on the same (slide) bundle
         feats = np.asarray(bundle.embed_tiles(tiles))
         status, doc = _request(port, "POST", "/predict",

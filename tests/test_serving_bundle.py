@@ -281,3 +281,64 @@ def test_cli_export_slide_bundle(tmp_path):
     probs = bundle.predict_slide(tiles)
     assert probs.shape == (2,)
     np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
+
+
+def test_bundle_attention_scores_match_live_model(tmp_path):
+    """The exported return_attn forward reproduces the live model's per-tile
+    scores (the visualize_mil cls-row semantics) — bucketed (TransMIL) and
+    symbolic (AttMIL) modes."""
+    # TransMIL: bucketed + TransMILAttention.tile_scores()
+    model, variables = _make("TransMIL")
+    path = tmp_path / "tm_attn.tdx"
+    meta = export_serving_bundle(model, variables, path, model_name="TransMIL",
+                                 in_features=DIM, buckets=(256,),
+                                 platforms=("cpu",), symbolic=False)
+    assert meta["attention"] is True
+    bundle = ServingBundle.load(path)
+    feats = np.random.default_rng(3).standard_normal((200, DIM)).astype(np.float32)
+    logits, scores = bundle.predict_logits_with_attention(feats)
+    assert scores.shape == (1, 200)
+    padded = np.concatenate([feats, np.zeros((56, DIM), np.float32)])[None]
+    live_logits, attn = model.apply(variables, padded, deterministic=True,
+                                    return_attn=True)
+    want = np.asarray(attn.tile_scores().mean(axis=1))[:, :200]
+    np.testing.assert_allclose(scores, want, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(logits, np.asarray(live_logits), rtol=0, atol=1e-5)
+
+    # AttMIL: symbolic attention export serves every length with one program
+    model, variables = _make("AttMIL")
+    path = tmp_path / "am_attn.tdx"
+    meta = export_serving_bundle(model, variables, path, model_name="AttMIL",
+                                 in_features=DIM, buckets=(256,), platforms=("cpu",))
+    assert meta["mode"] == "symbolic" and meta["attention"] is True
+    bundle = ServingBundle.load(path)
+    for n in (256, 300):
+        _, scores = bundle.predict_logits_with_attention(
+            np.random.default_rng(n).standard_normal((n, DIM)).astype(np.float32))
+        assert scores.shape == (1, n)
+        np.testing.assert_allclose(float(scores.sum()), 1.0, atol=1e-4)  # softmaxed
+
+
+def test_slide_bundle_attention(tmp_path):
+    """predict_slide_with_attention from the artifact alone."""
+    import jax.numpy as jnp
+
+    from transmil_deepgraft_tpu.models import AttMIL
+    from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+    from transmil_deepgraft_tpu.serving import export_slide_bundle
+
+    backbone = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+    bv = jax.device_get(backbone.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 3))))
+    head = AttMIL(n_classes=2, in_features=2048, out_features=16)
+    hv = head.init({"params": jax.random.key(1)}, jnp.zeros((1, 8, 2048)))
+    path = tmp_path / "slide_attn.tdx"
+    meta = export_slide_bundle(bv, head, hv, path, model_name="AttMIL",
+                               in_features=2048, chunk=4, tile_hw=64,
+                               head_buckets=(8,), platforms=("cpu",))
+    assert meta["attention"] is True
+    bundle = ServingBundle.load(path)
+    tiles = np.random.default_rng(0).standard_normal((6, 64, 64, 3)).astype(np.float32)
+    probs, scores = bundle.predict_slide_with_attention(tiles)
+    assert probs.shape == (2,) and scores.shape == (6,)
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
+    np.testing.assert_allclose(probs, bundle.predict_slide(tiles), atol=1e-5)

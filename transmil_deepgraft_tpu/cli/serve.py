@@ -198,6 +198,18 @@ def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
                     # slide bundles: (N, H, W, 3) raw u8 or normalized f32
                     # tiles -> slide probabilities (.npy body recommended;
                     # u8 ships 4x less than f32)
+                    if bundle.meta.get("attention"):
+                        with lock:
+                            probs, scores = bundle.predict_slide_with_attention(arr)
+                        k = min(20, scores.shape[0])
+                        top = np.argsort(scores)[::-1][:k]
+                        self._send(200, {
+                            "probs": probs.tolist(),
+                            "pred": int(np.argmax(probs)),
+                            "topk_tiles": top.tolist(),
+                            "topk_scores": scores[top].tolist(),
+                        })
+                        return
                     with lock:
                         logits = bundle.predict_slide_logits(arr)
                     e = np.exp(logits - logits.max())

@@ -60,6 +60,27 @@ def _eval_forward(model, is_dtfd: bool):
     return fwd
 
 
+def _attn_forward(model):
+    """(variables, bags) -> (logits, per-tile scores (B, n)) via return_attn.
+
+    TransMIL-family heads return an attention payload with ``tile_scores()``
+    (heads averaged, reference ``visualize_mil.py:584-592`` semantics);
+    gated-attention heads return the (B, K, n) / (B, n) weights directly."""
+    import jax.numpy as jnp
+
+    def fwd(variables, bags):
+        logits, attn = model.apply(variables, bags, deterministic=True, return_attn=True)
+        if hasattr(attn, "tile_scores"):
+            scores = attn.tile_scores().mean(axis=1)
+        else:
+            scores = jnp.asarray(attn)
+            if scores.ndim == 3:
+                scores = scores.mean(axis=1)
+        return logits, scores
+
+    return fwd
+
+
 def export_serving_bundle(
     model,
     variables: dict,
@@ -72,8 +93,14 @@ def export_serving_bundle(
     platforms: Sequence[str] = ("tpu", "cpu"),
     symbolic: str | bool = "auto",
     portable: bool = True,
+    attention: str | bool = "auto",
 ) -> dict:
     """Write a ``.tdx`` serving bundle; returns its meta dict.
+
+    ``attention='auto'`` additionally exports a per-tile-score forward
+    (``return_attn=True``) for heads that support it, enabling
+    ``predict_logits_with_attention`` / served top-k tiles from the artifact
+    alone; ``True`` requires it, ``False`` skips it.
 
     ``variables`` is the full variable tree (``{'params': ..., 'batch_stats':
     ...}`` or just ``{'params': ...}``) as stored by ``utils/checkpoints``.
@@ -124,6 +151,27 @@ def export_serving_bundle(
             ).serialize()
         mode = "bucketed"
 
+    has_attention = False
+    if attention in ("auto", True) and not is_dtfd:
+        try:
+            afwd = jax.jit(_attn_forward(model))
+            if mode == "symbolic":
+                (n,) = jex.symbolic_shape("n", constraints=(f"n >= {buckets[0]}",))
+                spec = jax.ShapeDtypeStruct((batch, n, in_features), np.float32)
+                exports["attn_symbolic"] = jex.export(
+                    afwd, platforms=tuple(platforms)
+                )(var_specs, spec).serialize()
+            else:
+                for b in buckets:
+                    spec = jax.ShapeDtypeStruct((batch, b, in_features), np.float32)
+                    exports[f"attn_{b}"] = jex.export(
+                        afwd, platforms=tuple(platforms)
+                    )(var_specs, spec).serialize()
+            has_attention = True
+        except Exception:
+            if attention is True:
+                raise  # the model does not expose usable return_attn scores
+
     meta = {
         "format_version": FORMAT_VERSION,
         "model_name": model_name,
@@ -131,6 +179,7 @@ def export_serving_bundle(
         "batch": int(batch),
         "mode": mode,
         "buckets": list(buckets),
+        "attention": has_attention,
         "platforms": list(platforms),
         "portable": bool(portable),
         "jax_version": jax.__version__,
@@ -160,6 +209,7 @@ def export_slide_bundle(
     head_buckets: Sequence[int] = SLIDE_SERVING_BUCKETS,
     platforms: Sequence[str] = ("tpu", "cpu"),
     portable: bool = True,
+    attention: str | bool = "auto",
 ) -> dict:
     """Write a ``.tdx`` bundle serving the FULL pipeline: raw tiles -> slide
     probabilities (``ServingBundle.predict_slide``), with no model code.
@@ -251,6 +301,20 @@ def export_slide_bundle(
             head_specs, spec
         ).serialize()
 
+    has_attention = False
+    if attention in ("auto", True) and model_name not in ("DTFD", "DTFDMIL"):
+        try:
+            afwd = jax.jit(_attn_forward(head_model))
+            for b in head_buckets:
+                spec = jax.ShapeDtypeStruct((1, b, in_features), np.float32)
+                exports[f"attn_{b}"] = jex.export(afwd, platforms=tuple(platforms))(
+                    head_specs, spec
+                ).serialize()
+            has_attention = True
+        except Exception:
+            if attention is True:
+                raise
+
     meta = {
         "format_version": FORMAT_VERSION,
         "kind": "slide",
@@ -259,6 +323,7 @@ def export_slide_bundle(
         "batch": 1,
         "mode": "bucketed",
         "buckets": list(head_buckets),
+        "attention": has_attention,
         "chunk": int(chunk),
         "tile_hw": int(tile_hw),
         "backbone": precision,
@@ -380,6 +445,31 @@ class ServingBundle:
         e = np.exp(logits - logits.max(axis=-1, keepdims=True))
         return e / e.sum(axis=-1, keepdims=True)
 
+    def predict_logits_with_attention(
+        self, feats: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(n, D) or (B, n, D) features -> ((B, C) logits, (B, n) per-tile
+        attention scores) via the exported ``return_attn`` forward (requires
+        ``meta['attention']``; heads averaged, padding scores stripped)."""
+        if not self.meta.get("attention"):
+            raise ValueError(
+                "bundle exported without attention; re-export with attention=True"
+            )
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim == 2:
+            feats = feats[None]
+        b, n, d = feats.shape
+        if b != self.meta["batch"]:
+            raise ValueError(f"bundle exported for batch={self.meta['batch']}, got {b}")
+        target = self._pad_target(n)
+        if target != n:
+            feats = np.concatenate(
+                [feats, np.zeros((b, target - n, d), np.float32)], axis=1
+            )
+        key = "attn_symbolic" if self.meta["mode"] == "symbolic" else f"attn_{target}"
+        logits, scores = self._call_for(key)(self._dev_head_vars(), feats)
+        return np.asarray(logits), np.asarray(scores)[:, :n]
+
     # ------------------------------------------------------- slide bundles
     def embed_tiles(self, tiles: np.ndarray):
         """(N, H, W, 3) float32 (normalized) or uint8 (raw) tiles -> (N, D)
@@ -431,3 +521,28 @@ class ServingBundle:
         logits = self.predict_slide_logits(tiles)
         e = np.exp(logits - logits.max(axis=-1, keepdims=True))
         return e / e.sum(axis=-1, keepdims=True)
+
+    def predict_slide_with_attention(
+        self, tiles: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(N, H, W, 3) tiles -> ((C,) probs, (N,) per-tile attention scores)
+        — the served equivalent of
+        ``SlideInferencePipeline.predict_slide_with_attention`` (heatmap /
+        top-k tile selection from the artifact alone)."""
+        if not self.meta.get("attention"):
+            raise ValueError(
+                "bundle exported without attention; re-export with attention=True"
+            )
+        import jax.numpy as jnp
+
+        n = int(np.shape(tiles)[0])
+        target = self._pad_target(n)
+        feats = self.embed_tiles(tiles)
+        if target != n:
+            feats = jnp.pad(feats, ((0, target - n), (0, 0)))
+        logits, scores = self._call_for(f"attn_{target}")(
+            self._dev_head_vars(), feats[None]
+        )
+        logits = np.asarray(logits)[0]
+        e = np.exp(logits - logits.max())
+        return e / e.sum(), np.asarray(scores)[0, :n]
