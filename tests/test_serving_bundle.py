@@ -342,3 +342,28 @@ def test_slide_bundle_attention(tmp_path):
     assert probs.shape == (2,) and scores.shape == (6,)
     np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
     np.testing.assert_allclose(probs, bundle.predict_slide(tiles), atol=1e-5)
+
+
+@pytest.mark.parametrize("name,dim", [
+    ("TransMIL", 64), ("AttMIL", 64), ("TransformerMIL", 64), ("Chowder", 64),
+    ("CLAM_SB", 64), ("CLAM_MB", 64), ("DTFD", 64), ("MDMIL", 1024),
+])
+def test_every_feature_head_exports(tmp_path, name, dim):
+    """Registry-wide: every feature-bag head ships as a .tdx and serves
+    correct-shape logits (the 'switch any reference model to artifact
+    serving' claim, checked head by head)."""
+    model = create_model(name, n_classes=3, in_features=dim)
+    x = np.zeros((1, 256, dim), np.float32)
+    variables = jax.device_get(model.init({"params": jax.random.key(0)}, x))
+    path = tmp_path / f"{name}.tdx"
+    meta = export_serving_bundle(model, variables, path, model_name=name,
+                                 in_features=dim, buckets=(256,),
+                                 platforms=("cpu",))
+    bundle = ServingBundle.load(path)
+    feats = np.random.default_rng(1).standard_normal((1, 256, dim)).astype(np.float32)
+    logits = bundle.predict_logits(feats)
+    assert logits.shape == (1, 3) and np.isfinite(logits).all()
+    if meta["attention"]:
+        lg, scores = bundle.predict_logits_with_attention(feats)
+        assert scores.shape == (1, 256) and np.isfinite(scores).all()
+        np.testing.assert_allclose(lg, logits, atol=1e-5)

@@ -55,6 +55,8 @@ def _eval_forward(model, is_dtfd: bool):
         out = model.apply(variables, bags, deterministic=True)
         if is_dtfd:  # (sub-bag logits, slide logits) -> slide logits
             return out[1]
+        if isinstance(out, tuple):  # heads defaulting to return_attn=True
+            return out[0]  # (MDMIL): keep the bundle output = logits
         return out
 
     return fwd
@@ -70,12 +72,10 @@ def _attn_forward(model):
 
     def fwd(variables, bags):
         logits, attn = model.apply(variables, bags, deterministic=True, return_attn=True)
-        if hasattr(attn, "tile_scores"):
-            scores = attn.tile_scores().mean(axis=1)
-        else:
-            scores = jnp.asarray(attn)
-            if scores.ndim == 3:
-                scores = scores.mean(axis=1)
+        scores = attn.tile_scores() if hasattr(attn, "tile_scores") else jnp.asarray(attn)
+        # normalize every head's layout to (B, n): average any extra axes
+        # (TransMIL heads, AttMIL K branches, CLAM_MB per-class branches)
+        scores = scores.reshape(bags.shape[0], -1, bags.shape[1]).mean(axis=1)
         return logits, scores
 
     return fwd
