@@ -75,3 +75,31 @@ def test_convert_h5_dir(tmp_path):
     bs = BagStore(path)
     assert bs.n_slides == 2 and names == ["s0", "s1"]
     assert bs.n_tiles(1) == 8
+
+
+def test_bagstore_rejects_corrupt_and_missing_files(tmp_path):
+    """Bad stores surface as clean IOErrors, not segfaults or garbage reads."""
+    import pytest
+
+    from transmil_deepgraft_tpu.data.bagstore import BagStore, write_bagstore
+
+    with pytest.raises(IOError):
+        BagStore(tmp_path / "nope.bagstore")
+
+    # truncated store: header parses short / magic mismatch -> clean failure
+    path = write_bagstore(
+        tmp_path / "ok.bagstore",
+        [np.arange(20, dtype=np.float32).reshape(5, 4)],
+    )
+    data = path.read_bytes()
+    trunc = tmp_path / "trunc.bagstore"
+    trunc.write_bytes(data[: max(8, len(data) // 3)])
+    with pytest.raises((IOError, RuntimeError, IndexError)):
+        st = BagStore(trunc)
+        st.read_bag(0)
+
+    garbage = tmp_path / "garbage.bagstore"
+    garbage.write_bytes(b"\x00" * 64)
+    with pytest.raises((IOError, RuntimeError, IndexError)):
+        st = BagStore(garbage)
+        st.read_bag(0)

@@ -78,14 +78,31 @@ void* bagstore_open(const char* path) {
   s->fd = fd;
   s->base = static_cast<const uint8_t*>(base);
   s->size = st.st_size;
-  std::memcpy(&s->header, s->base, sizeof(Header));
-  if (s->header.magic != kMagic || s->header.version != kVersion) {
+  // Validate EVERYTHING the later zero-copy reads rely on, at open time:
+  // a truncated or corrupt store must fail here with nullptr, not SIGBUS
+  // (or silently return garbage) inside a memcpy from beyond the mapping.
+  auto fail = [&]() {
     ::munmap(base, st.st_size);
     ::close(fd);
     delete s;
-    return nullptr;
-  }
+    return static_cast<void*>(nullptr);
+  };
+  if (s->size < sizeof(Header)) return fail();
+  std::memcpy(&s->header, s->base, sizeof(Header));
+  if (s->header.magic != kMagic || s->header.version != kVersion) return fail();
+  const uint64_t n = s->header.n_slides;
+  const uint64_t dim = s->header.dim;
+  if (dim == 0 || dim > s->size || n > (s->size - sizeof(Header)) / sizeof(SlideEntry))
+    return fail();
   s->index = reinterpret_cast<const SlideEntry*>(s->base + sizeof(Header));
+  for (uint64_t i = 0; i < n; ++i) {
+    const SlideEntry& e = s->index[i];
+    if (e.n_tiles > s->size / (dim * sizeof(float))) return fail();  // overflow guard
+    const uint64_t feat_bytes = e.n_tiles * dim * sizeof(float);
+    const uint64_t coord_bytes = e.n_tiles * 2 * sizeof(int32_t);
+    if (e.feat_offset > s->size || feat_bytes > s->size - e.feat_offset) return fail();
+    if (e.coord_offset > s->size || coord_bytes > s->size - e.coord_offset) return fail();
+  }
   return s;
 }
 
