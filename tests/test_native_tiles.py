@@ -115,3 +115,26 @@ def test_u8_loader_and_device_normalize_path(tmp_path, rng):
     f32 = imagenet_normalize(u8)
     p = SlideInferencePipeline(bv, head, hv, calib_tiles=f32, chunk=2)
     np.testing.assert_allclose(p.embed(u8), p.embed(f32), atol=2e-2, rtol=1e-4)
+
+
+def test_corrupt_jpegs_fail_soft(tmp_path, rng):
+    """Garbage/truncated JPEGs must not crash the native decoder: failed
+    tiles stay zero and n_ok reflects only the good decodes."""
+    if not nt.available():
+        pytest.skip("native tile loader unavailable")
+    good = _write_jpegs(tmp_path, rng, 2, 32)
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"\xff\xd8\xff\xe0 this is not a jpeg")
+    trunc = tmp_path / "trunc.jpg"
+    trunc.write_bytes(good[0].read_bytes()[:40])
+    missing = tmp_path / "missing.jpg"
+
+    paths = [good[0], bad, good[1], trunc, missing]
+    batch, n_ok = nt.load_tiles(paths, size=32)
+    assert n_ok == 2
+    assert (batch[1] == 0).all() and (batch[3] == 0).all() and (batch[4] == 0).all()
+    assert (batch[0] != 0).any() and (batch[2] != 0).any()
+
+    u8, n_ok_u8 = nt.load_tiles_u8(paths, size=32)
+    assert n_ok_u8 == 2
+    assert (u8[1] == 0).all() and (u8[4] == 0).all()
