@@ -211,3 +211,28 @@ def test_metrics_endpoint(server):
            if l.startswith('transmil_request_seconds_count{endpoint="/predict"}')]
     assert inf and cnt and inf[0].rsplit(" ", 1)[1] == cnt[0].rsplit(" ", 1)[1]
     assert "transmil_uptime_seconds" in text
+
+
+def test_malformed_content_length_is_400_and_counted(server):
+    """A bad Content-Length must produce a 400 (not kill the handler thread)
+    and appear in /metrics."""
+    import socket
+
+    port, _, _ = server
+    with socket.create_connection(("127.0.0.1", port), timeout=30) as s:
+        s.sendall(b"POST /predict HTTP/1.1\r\nHost: t\r\n"
+                  b"Content-Length: abc\r\nConnection: close\r\n\r\n")
+        resp = b""
+        while True:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            resp += chunk
+    assert b" 400 " in resp.split(b"\r\n", 1)[0]
+    status, _ = _request(port, "GET", "/health")
+    assert status == 200  # server alive
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/metrics")
+    text = conn.getresponse().read().decode()
+    conn.close()
+    assert 'transmil_requests_total{endpoint="/predict",status="400"}' in text

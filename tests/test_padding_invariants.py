@@ -37,7 +37,7 @@ def test_square_pad_reference_semantics():
         assert side == side2
         assert side * side == n + add
         assert (side - 1) ** 2 < n <= side * side  # minimal square
-        assert 0 <= add < n or n == 1 and add == 0 or add <= 2 * side
+        assert 0 <= add <= 2 * (side - 1)  # tight bound for a minimal square
 
 
 def test_duplicate_pad_wraps_first_tokens():

@@ -16,9 +16,6 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 ALIASES = {"pkg": "transmil_deepgraft_tpu", "t": "tests"}
-# `pkg/...` / `t/...` path tokens inside backticks; stop at whitespace,
-# backtick, or table pipe so prose after the path is not captured
-TOKEN = re.compile(r"`((?:pkg|t)/[^`\s|]+)`?")
 
 
 def cited_paths(text: str) -> set[str]:

@@ -54,6 +54,10 @@ def warmup(bundle) -> None:
     eb = int(bundle.meta.get("batch", 1))
     for b in bundle.meta["buckets"]:
         bundle.predict_logits(np.zeros((eb, b, d), np.float32))
+        if bundle.meta.get("attention"):
+            # /predict_slide executes the attn_* exports, not the plain head:
+            # warm the program the requests actually run
+            bundle.predict_logits_with_attention(np.zeros((eb, b, d), np.float32))
     if bundle.meta.get("kind") == "slide":
         hw = int(bundle.meta["tile_hw"])
         for dt in (np.float32, np.uint8):
@@ -185,9 +189,12 @@ def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
                 return
             t0 = time.perf_counter()
             status = 200
-            n = int(self.headers.get("Content-Length", 0))
-            raw = self.rfile.read(n)
             try:
+                # header parsing + body read inside the guard: a malformed
+                # Content-Length or a mid-body disconnect must 400 and be
+                # counted, not kill the handler thread unrecorded
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n)
                 ctype = self.headers.get("Content-Type", "application/json")
                 if ctype.startswith("application/octet-stream"):
                     arr = np.load(io.BytesIO(raw), allow_pickle=False)
@@ -200,12 +207,14 @@ def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
                     # u8 ships 4x less than f32)
                     if bundle.meta.get("attention"):
                         with lock:
-                            probs, scores = bundle.predict_slide_with_attention(arr)
+                            logits, scores = bundle.predict_slide_logits_with_attention(arr)
+                        e = np.exp(logits - logits.max())
                         k = min(20, scores.shape[0])
                         top = np.argsort(scores)[::-1][:k]
                         self._send(200, {
-                            "probs": probs.tolist(),
-                            "pred": int(np.argmax(probs)),
+                            "logits": logits.tolist(),
+                            "probs": (e / e.sum()).tolist(),
+                            "pred": int(np.argmax(logits)),
                             "topk_tiles": top.tolist(),
                             "topk_scores": scores[top].tolist(),
                         })

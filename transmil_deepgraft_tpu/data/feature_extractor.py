@@ -140,8 +140,11 @@ def extract_cohort(
         for s in range(n_cal_slides):
             calib_paths += dataset.tiles_of(s)[:per_slide]
         calib_paths = calib_paths[:64] or dataset.tiles_of(0)[:batch_size]
+        # calibrate at the SAME tile size the embed will see: clip ranges
+        # measured on 224px tiles do not transfer to other spatial extents
+        cal_hw = getattr(dataset, "tile_size", 224)
         calib = np.stack(
-            [imagenet_normalize(_load_tile(p, 224)) for p in calib_paths]
+            [imagenet_normalize(_load_tile(p, cal_hw)) for p in calib_paths]
         )
         truncate = getattr(backbone, "truncate_after", 4)
         q = build_qresnet50(jax.device_get(variables), calib, truncate_after=truncate)

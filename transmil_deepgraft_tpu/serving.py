@@ -459,6 +459,8 @@ class ServingBundle:
         if feats.ndim == 2:
             feats = feats[None]
         b, n, d = feats.shape
+        if d != self.meta["in_features"]:
+            raise ValueError(f"expected in_features={self.meta['in_features']}, got {d}")
         if b != self.meta["batch"]:
             raise ValueError(f"bundle exported for batch={self.meta['batch']}, got {b}")
         target = self._pad_target(n)
@@ -522,13 +524,10 @@ class ServingBundle:
         e = np.exp(logits - logits.max(axis=-1, keepdims=True))
         return e / e.sum(axis=-1, keepdims=True)
 
-    def predict_slide_with_attention(
+    def predict_slide_logits_with_attention(
         self, tiles: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
-        """(N, H, W, 3) tiles -> ((C,) probs, (N,) per-tile attention scores)
-        — the served equivalent of
-        ``SlideInferencePipeline.predict_slide_with_attention`` (heatmap /
-        top-k tile selection from the artifact alone)."""
+        """(N, H, W, 3) tiles -> ((C,) logits, (N,) per-tile attention scores)."""
         if not self.meta.get("attention"):
             raise ValueError(
                 "bundle exported without attention; re-export with attention=True"
@@ -543,6 +542,15 @@ class ServingBundle:
         logits, scores = self._call_for(f"attn_{target}")(
             self._dev_head_vars(), feats[None]
         )
-        logits = np.asarray(logits)[0]
+        return np.asarray(logits)[0], np.asarray(scores)[0, :n]
+
+    def predict_slide_with_attention(
+        self, tiles: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(N, H, W, 3) tiles -> ((C,) probs, (N,) per-tile attention scores)
+        — the served equivalent of
+        ``SlideInferencePipeline.predict_slide_with_attention`` (heatmap /
+        top-k tile selection from the artifact alone)."""
+        logits, scores = self.predict_slide_logits_with_attention(tiles)
         e = np.exp(logits - logits.max())
-        return e / e.sum(), np.asarray(scores)[0, :n]
+        return e / e.sum(), scores
