@@ -53,7 +53,7 @@ def main(argv: list[str] | None = None) -> dict:
 
     history = trainer.fit()           # checkpoints + per-epoch metrics under log_dir
     test = trainer.test()             # TEST_RESULT_{PATIENT,SLIDE}.csv, ROC/PR figures
-    out = {"val_auc": history["val_auc"], "test_patient_auc": test.get("patient_auc"),
+    out = {"val_auc": history["val_auc"], "test_patient_auc": test["test_patient_auc"],
            "log_dir": args.log_dir}
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v) for k, v in out.items()}))
     return out

@@ -146,3 +146,23 @@ def test_prefetch_abandoned_consumer_releases_producer():
         time.sleep(0.01)
     assert threading.active_count() <= n_before
     assert len(produced) < 100  # producer stopped early, not drained
+
+
+def test_jax_platforms_env_is_authoritative():
+    """Importing the package makes JAX_PLATFORMS win even when a site plugin
+    eagerly registered another PJRT backend (utils/jax_platform.py): with
+    JAX_PLATFORMS=cpu a fresh process must come up on CPU without ever
+    initializing (or hanging on) the plugin backend."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import transmil_deepgraft_tpu, jax; print(jax.default_backend())"],
+        env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().splitlines()[-1] == "cpu"

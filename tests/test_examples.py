@@ -22,6 +22,7 @@ def test_train_eval_synthetic(tmp_path):
          "--bag_size", "16", "--feature_size", "16", "--log_dir", str(tmp_path)]
     )
     assert 0.0 <= out["val_auc"] <= 1.0
+    assert 0.0 <= out["test_patient_auc"] <= 1.0
     assert (tmp_path / "checkpoints").exists()
 
 

@@ -12,4 +12,9 @@ padding) so every hot path compiles once per bucket and runs on the MXU.
 
 __version__ = "0.3.0"
 
+from transmil_deepgraft_tpu.utils.jax_platform import ensure_requested_platform
+
+ensure_requested_platform()  # JAX_PLATFORMS wins over eager site-plugin backends
+del ensure_requested_platform
+
 from transmil_deepgraft_tpu.utils.config import Config, read_yaml  # noqa: F401

@@ -54,7 +54,8 @@ def plot_roc_curves(probs: np.ndarray, labels: np.ndarray, n_classes: int, path:
     ax.plot([0, 1], [0, 1], "k--", lw=0.8)
     ax.set_xlabel("1 - Specificity")
     ax.set_ylabel("Sensitivity")
-    ax.legend(loc="lower right")
+    if ax.get_legend_handles_labels()[1]:  # all-one-class epochs draw no curves
+        ax.legend(loc="lower right")
     return _save(fig, Path(path))
 
 
@@ -81,7 +82,8 @@ def plot_pr_curves(probs: np.ndarray, labels: np.ndarray, n_classes: int, path: 
         ax.plot(recall, precision, color=COLOR_MAP[ci % len(COLOR_MAP)], label=f"{names[c]} (AP={ap:.3f})")
     ax.set_xlabel("Recall")
     ax.set_ylabel("Precision")
-    ax.legend(loc="lower left")
+    if ax.get_legend_handles_labels()[1]:
+        ax.legend(loc="lower left")
     return _save(fig, Path(path))
 
 
