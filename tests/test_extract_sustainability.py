@@ -77,3 +77,57 @@ def test_benchmark_models_sweep(tmp_path):
     assert path.exists()
     rows = json.loads((tmp_path / "sustainability_inference.json").read_text())
     assert rows[0]["model"] == "AttMIL" and rows[0]["kwh"] > 0
+
+
+def test_regional_impact_and_mortality(tmp_path):
+    """Per-region CO2/mortality analysis (ref mortality_cost.ipynb/map_co2.ipynb
+    as a library call): rows sorted cleanest-first, linear in kwh and intensity,
+    mortality = kgCO2/1000 * Bressler deaths-per-tonne."""
+    from transmil_deepgraft_tpu.utils.sustainability import (
+        MORTALITY_DEATHS_PER_TCO2,
+        REGION_GCO2_PER_KWH,
+        plot_regional_impact,
+        regional_impact,
+        write_regional_impact,
+    )
+
+    kwh = 12.5
+    rows = regional_impact(kwh)
+    assert len(rows) == len(REGION_GCO2_PER_KWH)
+    intensities = [r["gco2_per_kwh"] for r in rows]
+    assert intensities == sorted(intensities)
+    for r in rows:
+        assert abs(r["kg_co2"] - kwh * r["gco2_per_kwh"] / 1000.0) < 1e-12
+        assert abs(r["deaths"] - r["kg_co2"] / 1000.0 * MORTALITY_DEATHS_PER_TCO2) < 1e-18
+
+    path = write_regional_impact(kwh, tmp_path / "regional.csv")
+    assert path.exists() and path.with_suffix(".json").exists()
+    png = plot_regional_impact(rows, tmp_path / "regional.png")
+    assert png.exists()
+
+    custom = regional_impact(2.0, {"A": 100.0, "B": 50.0})
+    assert [r["region"] for r in custom] == ["B", "A"]
+    assert custom[1]["kg_co2"] == 0.2
+
+
+def test_sustainability_cli_regions_and_chip_watts(tmp_path):
+    """--chip_watts actually scales the accounted energy (was parsed but
+    dropped), and --regions writes the per-region artifacts."""
+    import csv
+
+    from transmil_deepgraft_tpu.cli.sustainability import main as sus_main
+
+    common = ["--models", "AttMIL", "--bag_sizes", "16", "--in_features", "8",
+              "--reps", "2"]
+    p1 = sus_main(common + ["--out_dir", str(tmp_path / "w200"), "--chip_watts", "200"])
+    p2 = sus_main(common + ["--out_dir", str(tmp_path / "w400"), "--chip_watts", "400",
+                            "--regions"])
+    # kwh must equal the row's own measured seconds x the REQUESTED watts
+    # (seconds is rounded to 4 decimals in the CSV; tolerate that)
+    for path, watts in ((p1, 200.0), (p2, 400.0)):
+        with open(path) as f:
+            for row in csv.DictReader(f):
+                expect = float(row["seconds"]) * watts / 3.6e6
+                assert abs(float(row["kwh"]) - expect) <= 1e-4 * watts / 3.6e6 + 1e-12
+    assert (tmp_path / "w400" / "regional_impact_inference.csv").exists()
+    assert (tmp_path / "w400" / "regional_impact_inference.png").exists()

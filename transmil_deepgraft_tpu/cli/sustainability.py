@@ -20,12 +20,22 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--reps", type=int, default=10)
     p.add_argument("--mode", default="inference", choices=["inference", "train"])
     p.add_argument("--chip_watts", type=float, default=None)
+    p.add_argument("--regions", action="store_true",
+                   help="also write the per-region CO2/mortality comparison "
+                        "(the reference's mortality_cost/map_co2 analysis) "
+                        "for the sweep's total kWh")
     return p
 
 
 def main(argv: list[str] | None = None) -> str:
     from transmil_deepgraft_tpu.utils.compilation_cache import enable_compilation_cache
-    from transmil_deepgraft_tpu.utils.sustainability import benchmark_models
+    from transmil_deepgraft_tpu.utils.sustainability import (
+        DEFAULT_CHIP_WATTS,
+        benchmark_models,
+        plot_regional_impact,
+        regional_impact,
+        write_regional_impact,
+    )
 
     enable_compilation_cache()
     args = make_parser().parse_args(argv)
@@ -36,8 +46,20 @@ def main(argv: list[str] | None = None) -> str:
         in_features=args.in_features,
         reps=args.reps,
         mode=args.mode,
+        chip_watts=args.chip_watts if args.chip_watts is not None else DEFAULT_CHIP_WATTS,
     )
-    print(json.dumps({"csv": str(path)}))
+    out = {"csv": str(path)}
+    if args.regions:
+        import csv as _csv
+        from pathlib import Path
+
+        with open(path) as f:
+            total_kwh = sum(float(r["kwh"]) for r in _csv.DictReader(f))
+        rpath = Path(args.out_dir) / f"regional_impact_{args.mode}.csv"
+        write_regional_impact(total_kwh, rpath)
+        plot_regional_impact(regional_impact(total_kwh), rpath.with_suffix(".png"))
+        out["regional_csv"] = str(rpath)
+    print(json.dumps(out))
     return str(path)
 
 

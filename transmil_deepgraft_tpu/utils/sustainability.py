@@ -23,6 +23,38 @@ import numpy as np
 DEFAULT_CHIP_WATTS = 200.0
 DEFAULT_KGCO2_PER_KWH = 0.4  # world-average-ish grid intensity
 
+# Regional grid carbon intensities, gCO2eq/kWh (approximate 2022-2023 annual
+# figures, Ember/IEA yearbook order of magnitude; override per deployment).
+# The reference derives the same per-region comparison from a private
+# ``carbon-intensity-electricity.csv`` (``code/mortality_cost.ipynb`` cells
+# 2-3, ``map_co2.ipynb``, ``co2_plot.py:37-43``); this table replaces that
+# data dependency so the analysis runs out of the box.
+REGION_GCO2_PER_KWH: dict[str, float] = {
+    "World": 436.0,
+    "Poland": 633.0,
+    "India": 713.0,
+    "China": 582.0,
+    "Australia": 549.0,
+    "Japan": 462.0,
+    "United States": 367.0,
+    "Germany": 385.0,
+    "Italy": 331.0,
+    "Netherlands": 268.0,
+    "United Kingdom": 238.0,
+    "Spain": 174.0,
+    "Austria": 158.0,
+    "Belgium": 139.0,
+    "Canada": 126.0,
+    "France": 56.0,
+    "Sweden": 41.0,
+    "Norway": 30.0,
+}
+
+# Mortality cost of carbon (Bressler, Nature Communications 12, 4467 (2021)):
+# projected 2020-2100 excess deaths per tonne of CO2 emitted — the constant
+# behind the reference's ``mortality_cost.ipynb`` analysis.
+MORTALITY_DEATHS_PER_TCO2 = 2.26e-4
+
 
 @dataclass
 class EnergyReport:
@@ -64,6 +96,59 @@ class EnergyTracker:
         )
 
 
+def regional_impact(kwh: float, regions: dict[str, float] | None = None) -> list[dict]:
+    """Per-region CO2 and mortality cost of ``kwh`` of compute (the
+    reference's ``mortality_cost.ipynb`` / ``map_co2.ipynb`` analysis as a
+    library call): one row per region, sorted cleanest-first."""
+    regions = regions or REGION_GCO2_PER_KWH
+    rows = []
+    for region, gco2 in sorted(regions.items(), key=lambda kv: kv[1]):
+        kg = kwh * gco2 / 1000.0
+        rows.append(
+            {
+                "region": region,
+                "gco2_per_kwh": gco2,
+                "kg_co2": kg,
+                "deaths": kg / 1000.0 * MORTALITY_DEATHS_PER_TCO2,
+            }
+        )
+    return rows
+
+
+def write_regional_impact(kwh: float, out_path: str | Path,
+                          regions: dict[str, float] | None = None) -> Path:
+    """``regional_impact`` to CSV (+ ``.json`` sidecar with the input kwh)."""
+    rows = regional_impact(kwh, regions)
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(out_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    out_path.with_suffix(".json").write_text(json.dumps({"kwh": kwh, "rows": rows}, indent=2))
+    return out_path
+
+
+def plot_regional_impact(rows: list[dict], out_path: str | Path) -> Path:
+    """Bar chart of per-region kgCO2 (the map_co2 comparison, sans geodata)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    names = [r["region"] for r in rows]
+    ax.bar(range(len(rows)), [r["kg_co2"] for r in rows], color="#4c72b0")
+    ax.set_xticks(range(len(rows)))
+    ax.set_xticklabels(names, rotation=60, ha="right", fontsize=8)
+    ax.set_ylabel("kg CO2eq")
+    ax.set_title("Same compute, by grid region")
+    out_path = Path(out_path)
+    fig.savefig(out_path, bbox_inches="tight", dpi=150)
+    plt.close(fig)
+    return out_path
+
+
 def benchmark_models(
     out_dir: str | Path,
     model_names: tuple[str, ...] = ("TransMIL", "AttMIL", "TransformerMIL", "CLAM_SB"),
@@ -72,6 +157,7 @@ def benchmark_models(
     n_classes: int = 2,
     reps: int = 10,
     mode: str = "inference",
+    chip_watts: float = DEFAULT_CHIP_WATTS,
 ) -> Path:
     """Per-model inference/training energy sweep over synthetic bags; writes
     ``{out_dir}/sustainability_{mode}.csv`` (the reference's kWh CSVs)."""
@@ -96,7 +182,7 @@ def benchmark_models(
             if mode == "inference":
                 fn = jax.jit(lambda v, x: model.apply(v, x))
                 np.asarray(jax.tree.leaves(fn(variables, x))[0])  # compile
-                with EnergyTracker() as tracker:
+                with EnergyTracker(chip_watts=chip_watts) as tracker:
                     for _ in range(reps):
                         out = fn(variables, x)
                         tracker.step()
@@ -120,7 +206,7 @@ def benchmark_models(
                     return optax.apply_updates(p, u), s
 
                 params, opt_state = step(params, opt_state, x)  # compile
-                with EnergyTracker() as tracker:
+                with EnergyTracker(chip_watts=chip_watts) as tracker:
                     for _ in range(reps):
                         params, opt_state = step(params, opt_state, x)
                         tracker.step()
