@@ -43,7 +43,7 @@ def main(argv: list[str] | None = None) -> dict:
             f"need {args.dp * args.sp} devices, have {n_dev} — on a CPU host set "
             "XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu"
         )
-    mesh = make_mesh(jax.devices(), dp=args.dp, sp=args.sp)
+    mesh = make_mesh(jax.devices()[: args.dp * args.sp], dp=args.dp, sp=args.sp)
 
     dm = MILDataModule(
         n_classes=2, max_bag_size=64, batch_size=args.dp,

@@ -62,6 +62,7 @@ def main(argv: list[str] | None = None) -> dict:
             doc = json.loads(resp.read())
     finally:
         srv.shutdown()
+        srv.server_close()  # shutdown() stops the loop; this releases the socket
         thread.join()
 
     out = {"bundle": args.out, "mode": meta["mode"], "buckets": meta["buckets"],

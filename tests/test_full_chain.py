@@ -69,8 +69,9 @@ General:
 Data:
     data_dir: {feats_dir}
     label_file: {root}/feat_labels.json
-    max_bag_size: 6
-    batch_size: 2
+    bag_size: 6
+    train_dataloader:
+        batch_size: 2
 Model:
     name: AttMIL
     n_classes: 2

@@ -55,9 +55,10 @@ def main(argv: list[str] | None = None) -> str:
 
         with open(path) as f:
             total_kwh = sum(float(r["kwh"]) for r in _csv.DictReader(f))
+        rows = regional_impact(total_kwh)
         rpath = Path(args.out_dir) / f"regional_impact_{args.mode}.csv"
-        write_regional_impact(total_kwh, rpath)
-        plot_regional_impact(regional_impact(total_kwh), rpath.with_suffix(".png"))
+        write_regional_impact(total_kwh, rpath, rows=rows)
+        plot_regional_impact(rows, rpath.with_suffix(".png"))
         out["regional_csv"] = str(rpath)
     print(json.dumps(out))
     return str(path)

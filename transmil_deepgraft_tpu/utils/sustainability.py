@@ -100,7 +100,9 @@ def regional_impact(kwh: float, regions: dict[str, float] | None = None) -> list
     """Per-region CO2 and mortality cost of ``kwh`` of compute (the
     reference's ``mortality_cost.ipynb`` / ``map_co2.ipynb`` analysis as a
     library call): one row per region, sorted cleanest-first."""
-    regions = regions or REGION_GCO2_PER_KWH
+    regions = REGION_GCO2_PER_KWH if regions is None else regions
+    if not regions:
+        raise ValueError("empty region table")
     rows = []
     for region, gco2 in sorted(regions.items(), key=lambda kv: kv[1]):
         kg = kwh * gco2 / 1000.0
@@ -116,9 +118,11 @@ def regional_impact(kwh: float, regions: dict[str, float] | None = None) -> list
 
 
 def write_regional_impact(kwh: float, out_path: str | Path,
-                          regions: dict[str, float] | None = None) -> Path:
-    """``regional_impact`` to CSV (+ ``.json`` sidecar with the input kwh)."""
-    rows = regional_impact(kwh, regions)
+                          regions: dict[str, float] | None = None,
+                          rows: list[dict] | None = None) -> Path:
+    """``regional_impact`` to CSV (+ ``.json`` sidecar with the input kwh).
+    Pass precomputed ``rows`` to keep CSV and plot from ever diverging."""
+    rows = regional_impact(kwh, regions) if rows is None else rows
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     with open(out_path, "w", newline="") as f:
