@@ -1,0 +1,207 @@
+"""RoFormerMIL: 2-D rotary position-aware MIL head (beyond-reference family).
+
+The properties under test are the ones rotary embeddings guarantee by
+construction: attention depends on (feature, coordinate) PAIRS — so permuting
+tokens together with their coords is a no-op, permuting tokens alone is not —
+and only on coordinate DIFFERENCES, so translating every coord is a no-op."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transmil_deepgraft_tpu.models import create_model
+from transmil_deepgraft_tpu.models.roformer_mil import RoFormerMIL, default_grid_coords
+
+N, D = 48, 64
+
+
+def _model(**kw):
+    return RoFormerMIL(n_classes=3, in_features=D, out_features=64, depth=2,
+                       heads=4, dim_head=16, mlp_dim=64, **kw)
+
+
+def _data(seed=0, n=N):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((1, n, D), dtype=np.float32))
+    coords = jnp.asarray(rng.integers(0, 40, (1, n, 2)), jnp.float32)
+    return x, coords
+
+
+def test_forward_shapes_and_registry():
+    x, coords = _data()
+    model = create_model("RoFormerMIL", n_classes=3, in_features=D, out_features=64,
+                         depth=2, heads=4, dim_head=16, mlp_dim=64)
+    v = model.init({"params": jax.random.key(0)}, x, coords)
+    assert model.apply(v, x, coords).shape == (1, 3)
+    # 2-D bag + no coords (square-grid fallback)
+    assert model.apply(v, x[0]).shape == (1, 3)
+
+
+def test_permuting_tokens_with_coords_is_invariant_alone_is_not():
+    x, coords = _data()
+    model = _model()
+    v = model.init({"params": jax.random.key(0)}, x, coords)
+    base = model.apply(v, x, coords)
+    perm = np.random.default_rng(1).permutation(N)
+    together = model.apply(v, x[:, perm], coords[:, perm])
+    np.testing.assert_allclose(np.asarray(together), np.asarray(base), atol=2e-5)
+    alone = model.apply(v, x[:, perm], coords)
+    assert np.abs(np.asarray(alone) - np.asarray(base)).max() > 1e-3
+
+
+def test_translation_invariance():
+    x, coords = _data()
+    model = _model()
+    v = model.init({"params": jax.random.key(0)}, x, coords)
+    base = model.apply(v, x, coords)
+    shifted = model.apply(v, x, coords + jnp.asarray([17.0, -5.0]))
+    np.testing.assert_allclose(np.asarray(shifted), np.asarray(base), atol=2e-4)
+
+
+def test_return_attn_tile_scores():
+    x, coords = _data()
+    model = _model()
+    v = model.init({"params": jax.random.key(0)}, x, coords)
+    logits, attn = model.apply(v, x, coords, return_attn=True)
+    scores = attn.tile_scores()
+    assert scores.shape == (1, 4, N)
+    # cls-query softmax row: tile scores + the cls self-score sum to 1
+    total = np.asarray(attn.row).sum(-1)
+    np.testing.assert_allclose(total, 1.0, atol=1e-5)
+
+
+def test_default_grid_matches_square_layout():
+    g = np.asarray(default_grid_coords(10, 2))
+    assert g.shape == (2, 10, 2)
+    side = 4  # ceil(sqrt(10))
+    assert (g[0, :, 0] == np.arange(10) % side).all()
+    assert (g[0, :, 1] == np.arange(10) // side).all()
+
+
+def test_learns_position_dependent_signal():
+    """A task permutation-invariant heads cannot represent: the label is
+    carried by WHERE the witness features sit (left vs right half of the
+    grid), with identical feature marginals either way."""
+    rng = np.random.default_rng(0)
+    n, n_slides = 32, 24
+    xs, cs, ys = [], [], []
+    for i in range(n_slides):
+        label = i % 2
+        feats = rng.standard_normal((n, D)).astype(np.float32)
+        witness = rng.random(n) < 0.4
+        feats[witness, ::2] += 1.5
+        coords = np.stack([rng.integers(0, 8, n), rng.integers(0, 16, n)], -1).astype(np.float32)
+        # witnesses live left (x<8) for class 0, right for class 1
+        coords[witness, 0] = rng.integers(0, 8, witness.sum()) + (8.0 if label else 0.0)
+        coords[~witness, 0] = rng.integers(0, 16, (~witness).sum())
+        xs.append(feats); cs.append(coords); ys.append(label)
+    x = jnp.asarray(np.stack(xs)); c = jnp.asarray(np.stack(cs))
+    y = jax.nn.one_hot(jnp.asarray(ys), 2)
+
+    import optax
+
+    model = RoFormerMIL(n_classes=2, in_features=D, out_features=32, depth=2,
+                        heads=2, dim_head=16, mlp_dim=32, dropout=0.0, emb_dropout=0.0)
+    v = model.init({"params": jax.random.key(0)}, x[:1], c[:1])
+    tx = optax.adam(3e-4)
+    state = tx.init(v["params"])
+
+    @jax.jit
+    def step(p, s):
+        def loss(p):
+            logits = model.apply({"params": p}, x, c)
+            return optax.softmax_cross_entropy(logits, y).mean()
+
+        l, g = jax.value_and_grad(loss)(p)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    p = v["params"]
+    first = None
+    for i in range(120):
+        p, state, l = step(p, state)
+        first = first if first is not None else float(l)
+    acc = (jnp.argmax(model.apply({"params": p}, x, c), -1) == jnp.asarray(ys)).mean()
+    assert float(l) < first * 0.5, (first, float(l))
+    assert float(acc) >= 0.9, float(acc)
+
+
+def test_trainer_integration_coord_aware(tmp_path):
+    """RoFormerMIL trains/evaluates through the standard Trainer: coords are
+    staged from Batch.padded_coords (grid fallback otherwise), test artifacts
+    (CSVs + top-k attention tiles) come out like any attention head."""
+    from transmil_deepgraft_tpu.data.datamodule import MILDataModule
+    from transmil_deepgraft_tpu.train.losses import create_loss
+    from transmil_deepgraft_tpu.train.optimizers import create_optimizer
+    from transmil_deepgraft_tpu.train.trainer import Trainer, TrainerConfig
+
+    dm = MILDataModule(
+        n_classes=2, max_bag_size=16, batch_size=4,
+        synthetic={"n_train": 16, "n_val": 8, "n_test": 8, "bag_size": 16,
+                   "feature_size": 32, "signal": 2.0},
+        seed=0,
+    )
+    model = RoFormerMIL(n_classes=2, in_features=32, out_features=32, depth=1,
+                        heads=2, dim_head=16, mlp_dim=32)
+    tx = create_optimizer(opt="adam", lr=1e-3, weight_decay=0.0)
+    cfg = TrainerConfig(epochs=2, log_dir=str(tmp_path), task="norm_rest")
+    trainer = Trainer(model, tx, dm, n_classes=2, loss_fn=create_loss(), config=cfg,
+                      model_name="RoFormerMIL")
+    assert trainer.coord_aware
+    history = trainer.fit()
+    assert np.isfinite(history["loss"])
+    summary = trainer.test()
+    assert 0.0 <= summary["test_patient_auc"] <= 1.0
+    assert (tmp_path / "TEST_RESULT_SLIDE.csv").exists()
+    assert list((tmp_path / "topk_tiles").glob("*.csv"))
+
+
+def test_trainer_coord_aware_on_feature_files(tmp_path):
+    """On-disk HDF5 bags: padded_coords stay row-aligned through the train
+    path's subsample/pad/shuffle, and a coord-aware head trains on them."""
+    import h5py
+    import json
+
+    from transmil_deepgraft_tpu.data.datamodule import MILDataModule
+    from transmil_deepgraft_tpu.train.losses import create_loss
+    from transmil_deepgraft_tpu.train.optimizers import create_optimizer
+    from transmil_deepgraft_tpu.train.trainer import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(0)
+    feats_dir = tmp_path / "feats"
+    feats_dir.mkdir()
+    entries = []
+    for s in range(8):
+        n = int(rng.integers(10, 20))
+        with h5py.File(feats_dir / f"s{s}.h5", "w") as f:
+            f["features"] = rng.standard_normal((n, 24)).astype(np.float32)
+            f["coords"] = rng.integers(0, 30, (n, 2)).astype(np.int32)
+        entries.append([f"s{s}.h5", s % 2])
+    (tmp_path / "labels.json").write_text(
+        json.dumps({"train": entries, "val": entries, "test": entries})
+    )
+    dm = MILDataModule(data_dir=str(feats_dir), label_path=str(tmp_path / "labels.json"),
+                       n_classes=2, max_bag_size=12, batch_size=2, seed=0)
+    batch = next(iter(dm.train_batches(0)))
+    assert batch.padded_coords is not None
+    assert batch.padded_coords.shape == (2, 12, 2)
+    # real (nonzero-feature) rows carry their own coords; alignment survives shuffle
+    model = RoFormerMIL(n_classes=2, in_features=24, out_features=16, depth=1,
+                        heads=2, dim_head=8, mlp_dim=16)
+    tx = create_optimizer(opt="adam", lr=1e-3, weight_decay=0.0)
+    cfg = TrainerConfig(epochs=1, log_dir=str(tmp_path / "run"), task="norm_rest")
+    t = Trainer(model, tx, dm, n_classes=2, loss_fn=create_loss(), config=cfg,
+                model_name="RoFormerMIL")
+    h = t.fit()
+    assert np.isfinite(h["loss"])
+
+
+def test_cli_fast_dev_run_synthetic_config(tmp_path):
+    """The shipped synthetic RoFormerMIL config runs through the CLI surface."""
+    from transmil_deepgraft_tpu.cli.train import main as train_main
+
+    cfg = "transmil_deepgraft_tpu/configs/synthetic_roformer_norm_rest.yaml"
+    summary = train_main(["--stage", "train", "--config", cfg, "--fast_dev_run",
+                          "--log_dir", str(tmp_path)])
+    assert "test_patient_auroc" in summary or "val_auc" in summary

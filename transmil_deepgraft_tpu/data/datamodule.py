@@ -37,6 +37,10 @@ class Batch:
     names: list[str]
     patients: list[str]
     coords: list[np.ndarray]
+    # (B, N_bucket, 2) float32 tile grid coords aligned with ``bags`` rows, or
+    # None when per-item coords are missing/unaligned (e.g. the bagstore train
+    # path). Consumed by coord-aware heads (RoFormerMIL) via the trainer.
+    padded_coords: np.ndarray | None = None
 
 
 def _mixup_assembled(bags: np.ndarray, taken: np.ndarray, rng: np.random.Generator) -> None:
@@ -80,14 +84,25 @@ def collate(
     lengths = np.array([b.shape[0] for b in bags], np.int32)
     max_len = int(lengths.max())
     target = max_len if eval_pad == "exact" else bucket_for_length(max_len, buckets)
+    coords = [np.asarray(i[2][1]) for i in items]
+    # batch-level aligned coords for coord-aware heads: only when every item's
+    # coords are row-aligned with its bag (true for feature/image/jpg loaders;
+    # degenerate (0, 2) placeholders make this None)
+    padded_coords = None
+    if all(c.ndim == 2 and c.shape[0] == b.shape[0] and c.shape[1] == 2
+           for c, b in zip(coords, bags)):
+        padded_coords = np.stack(
+            [_pad_to(c.astype(np.float32), target, 0.0) for c in coords]
+        )
     bags = np.stack([_pad_to(b, target, pad_value) for b in bags]).astype(np.float32)
     return Batch(
         bags=bags,
         labels=np.array([i[1] for i in items], np.int32),
         lengths=lengths,
         names=[i[2][0] for i in items],
-        coords=[np.asarray(i[2][1]) for i in items],
+        coords=coords,
         patients=[i[2][2] for i in items],
+        padded_coords=padded_coords,
     )
 
 

@@ -249,8 +249,16 @@ class FeatureBagDataset:
             if bag.shape[0] < self.max_bag_size:
                 pad = np.zeros((self.max_bag_size - bag.shape[0], bag.shape[1]), np.float32)
                 bag = np.concatenate([bag, pad], axis=0)
-            bag = bag[rng.permutation(bag.shape[0])]
-            return bag, label, (name, coords, patient)
+            # keep coords row-aligned through the post-pad reshuffle (pad rows
+            # get coord 0,0) so coord-aware heads can train; the permutation
+            # draw is unchanged, so bags are bit-identical to the
+            # reference-semantics path (which never consumes train coords)
+            if coords.shape[0] < bag.shape[0]:
+                coords = np.concatenate(
+                    [coords, np.zeros((bag.shape[0] - coords.shape[0], 2), coords.dtype)], axis=0
+                )
+            perm = rng.permutation(bag.shape[0])
+            return bag[perm], label, (name, coords[perm], patient)
 
         # val/test: seeded deterministic 10% draw with replacement (ref :420-431).
         draw_rng = np.random.RandomState(0)

@@ -18,6 +18,7 @@ from transmil_deepgraft_tpu.models.ctmil import CTMIL
 from transmil_deepgraft_tpu.models.dtfd import DTFDMIL
 from transmil_deepgraft_tpu.models.mdmil import MDMIL
 from transmil_deepgraft_tpu.models.monai_mil import MonaiMIL
+from transmil_deepgraft_tpu.models.roformer_mil import RoFormerMIL
 from transmil_deepgraft_tpu.models.spatial_resnet import SpatialResNetMIL
 from transmil_deepgraft_tpu.models.transformer_mil import TransformerMIL
 from transmil_deepgraft_tpu.models.transmil import TransMIL, TransMILAttention
@@ -35,6 +36,7 @@ MODEL_REGISTRY: dict[str, Callable[..., nn.Module]] = {
     "CTMIL": CTMIL,
     "MonaiMILModel": MonaiMIL,
     "AttTrans": MonaiMIL,
+    "RoFormerMIL": RoFormerMIL,  # beyond-reference: 2-D rotary position-aware MIL
     "resnet50": SpatialResNetMIL,
 }
 
@@ -64,7 +66,7 @@ def create_model(
         raise KeyError(f"unknown model '{name}'; available: {sorted(MODEL_REGISTRY)}")
     cls = MODEL_REGISTRY[name]
     common: dict[str, Any] = {"n_classes": n_classes, "in_features": in_features}
-    if name in ("TransMIL", "AttMIL", "TransformerMIL", "MDMIL", "CTMIL"):
+    if name in ("TransMIL", "AttMIL", "TransformerMIL", "MDMIL", "CTMIL", "RoFormerMIL"):
         common["out_features"] = out_features
     if precision in (16, "16", "bf16", "16-mixed") and name == "TransMIL":
         import jax.numpy as jnp
@@ -85,6 +87,7 @@ __all__ = [
     "MonaiMIL",
     "TransMIL",
     "TransMILAttention",
+    "RoFormerMIL",
     "TransformerMIL",
     "create_model",
 ]

@@ -127,9 +127,14 @@ def run_kfold(
     trainer = template_trainer
     fold_params = [load_pytree(p, {"params": trainer.params})["params"] for p in ckpt_paths]
 
-    def ensemble_logits(bags: jax.Array) -> jax.Array:
+    def _fwd_args(bags, coords):
+        # coord-aware heads (RoFormerMIL) take staged coords positionally
+        return (bags, coords) if trainer.coord_aware else (bags,)
+
+    def ensemble_logits(bags: jax.Array, coords=None) -> jax.Array:
         logits = [
-            trainer.model.apply({"params": fp}, bags, deterministic=True) for fp in fold_params
+            trainer.model.apply({"params": fp}, *_fwd_args(bags, coords), deterministic=True)
+            for fp in fold_params
         ]
         logits = [l[1] if isinstance(l, tuple) else l for l in logits]
         return jnp.mean(jnp.stack(logits), axis=0)
@@ -139,9 +144,10 @@ def run_kfold(
     # only for heads exposing return_attn (TransMIL family).
     supports_attn = hasattr(trainer.model, "attn_query")
     if supports_attn:
-        def attn_rows(params, bags):
+        def attn_rows(params, bags, coords=None):
             _, attn = trainer.model.apply(
-                {"params": params}, bags, deterministic=True, return_attn=True
+                {"params": params}, *_fwd_args(bags, coords),
+                deterministic=True, return_attn=True,
             )
             return attn.tile_scores().mean(axis=1)  # (B, n_tokens) mean over heads
 
@@ -152,8 +158,8 @@ def run_kfold(
     tiles_dir = export_dir / "ensemble_topk_tiles"
     # device-staged batches (trainer prefetch thread): H2D overlaps the
     # previous ensemble dispatch
-    for batch, bags, _ in trainer._staged_batches(dm.eval_batches("test"), with_labels=False):
-        logits = efn(bags)
+    for batch, bags, _, coords in trainer._staged_batches(dm.eval_batches("test"), with_labels=False):
+        logits = efn(bags, coords)
         probs_l.append(np.asarray(jax.nn.softmax(logits, axis=-1)))
         labels_l.append(batch.labels)
         names += batch.names
@@ -162,7 +168,7 @@ def run_kfold(
             from transmil_deepgraft_tpu.visualize.heatmap import export_topk_tiles
 
             # score tiles with the mean attention row across fold checkpoints
-            rows = np.mean([np.asarray(afn(fp, bags)) for fp in fold_params], axis=0)
+            rows = np.mean([np.asarray(afn(fp, bags, coords)) for fp in fold_params], axis=0)
             for j, slide_name in enumerate(batch.names):
                 n = int(batch.lengths[j])
                 export_topk_tiles(

@@ -178,6 +178,10 @@ class Trainer:
         self.mesh = mesh
         self.model_name = model_name
         self.is_dtfd = model_name in ("DTFD", "DTFDMIL")
+        # coord-aware heads (RoFormerMIL) take the tile grid coordinates as a
+        # second forward argument; the trainer then stages Batch.padded_coords
+        # (or the square-grid fallback) alongside the bags
+        self.coord_aware = bool(getattr(model, "coord_aware", False))
 
         self.log_dir = Path(config.log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
@@ -274,9 +278,10 @@ class Trainer:
             self.model_state = {**self.model_state, "batch_stats": bs}
         self._pending_backbone = None
 
-    def _forward_logits(self, params, model_state, bags, rngs, deterministic):
+    def _forward_logits(self, params, model_state, bags, rngs, deterministic, coords=None):
+        args = (bags, coords) if self.coord_aware else (bags,)
         out = self.model.apply(
-            {"params": params, **model_state}, bags, deterministic=deterministic,
+            {"params": params, **model_state}, *args, deterministic=deterministic,
             rngs=rngs if not deterministic else None,
         )
         if self.is_dtfd:
@@ -289,12 +294,14 @@ class Trainer:
         n_classes = self.n_classes
         tx = self.tx
 
-        def step(params, model_state, opt_state, bags, labels, rng):
+        def step_impl(params, model_state, opt_state, bags, coords, labels, rng):
             drop_rng, shuffle_rng, hess_rng = jax.random.split(rng, 3)
             rngs = {"dropout": drop_rng, "shuffle": shuffle_rng}
 
             def loss_of(p):
-                logits, sub = self._forward_logits(p, model_state, bags, rngs, deterministic=False)
+                logits, sub = self._forward_logits(
+                    p, model_state, bags, rngs, deterministic=False, coords=coords
+                )
                 one_hot = jax.nn.one_hot(labels, n_classes)
                 loss = loss_fn(logits, one_hot)
                 if sub is not None:  # DTFD tier-1 loss over pseudo-bag predictions
@@ -313,6 +320,16 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, jax.nn.softmax(logits, axis=-1)
 
+        if self.coord_aware:
+            step = step_impl
+            shardings = lambda repl, data: (repl, repl, repl, data, data, data, repl)
+        else:
+            # reference heads keep the coord-free signature (and jit cache keys)
+            def step(params, model_state, opt_state, bags, labels, rng):
+                return step_impl(params, model_state, opt_state, bags, None, labels, rng)
+
+            shardings = lambda repl, data: (repl, repl, repl, data, data, repl)
+
         donate = (0, 2)  # params, opt_state (model_state is read-only)
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
@@ -320,7 +337,7 @@ class Trainer:
             return jax.jit(
                 step,
                 donate_argnums=donate,
-                in_shardings=(repl, repl, repl, data, data, repl),
+                in_shardings=shardings(repl, data),
                 out_shardings=(repl, repl, repl, data),
             )
         return jax.jit(step, donate_argnums=donate)
@@ -331,15 +348,18 @@ class Trainer:
             self._eval_fns.move_to_end(key)  # LRU refresh
         else:
             if with_attn:
-                def eval_step(params, model_state, bags):
+                def eval_step(params, model_state, bags, coords=None):
+                    args = (bags, coords) if self.coord_aware else (bags,)
                     logits, attn = self.model.apply(
-                        {"params": params, **model_state}, bags, deterministic=True, return_attn=True
+                        {"params": params, **model_state}, *args, deterministic=True, return_attn=True
                     )
                     rows = attn.tile_scores().mean(axis=1)  # (B, n_tokens)
                     return jax.nn.softmax(logits, axis=-1), logits, rows
             else:
-                def eval_step(params, model_state, bags):
-                    logits, _ = self._forward_logits(params, model_state, bags, None, deterministic=True)
+                def eval_step(params, model_state, bags, coords=None):
+                    logits, _ = self._forward_logits(
+                        params, model_state, bags, None, deterministic=True, coords=coords
+                    )
                     return jax.nn.softmax(logits, axis=-1), logits, None
 
             self._eval_fns[key] = jax.jit(eval_step)
@@ -353,10 +373,22 @@ class Trainer:
         H2D transfer of batch k+1 overlaps step k (the reference's DALI
         double-buffering, ``dali_dataloader.py:26-255``).
         ``cfg.prefetch_batches=0`` degrades to the synchronous path."""
+        coord_aware = self.coord_aware
+
+        def _coords(b):
+            if not coord_aware:
+                return None
+            if b.padded_coords is not None:
+                return jnp.asarray(b.padded_coords)
+            from transmil_deepgraft_tpu.models.roformer_mil import default_grid_coords
+
+            # same square-grid fallback the model itself would use
+            return default_grid_coords(b.bags.shape[1], b.bags.shape[0])
+
         if with_labels:
-            stage = lambda b: (b, jnp.asarray(b.bags), jnp.asarray(b.labels))
+            stage = lambda b: (b, jnp.asarray(b.bags), jnp.asarray(b.labels), _coords(b))
         else:
-            stage = lambda b: (b, jnp.asarray(b.bags), None)
+            stage = lambda b: (b, jnp.asarray(b.bags), None, _coords(b))
         if self.cfg.prefetch_batches:
             from transmil_deepgraft_tpu.data.pipeline import prefetch
 
@@ -439,11 +471,12 @@ class Trainer:
             rng = jax.random.fold_in(base_rng, epoch)
             losses, train_probs, train_labels = [], [], []
             staged = self._staged_batches(self.dm.train_batches(epoch), with_labels=True)
-            for step_i, (batch, bags, labels) in enumerate(staged):
+            for step_i, (batch, bags, labels, coords) in enumerate(staged):
                 rng, step_rng = jax.random.split(rng)
+                step_args = (bags, coords, labels) if self.coord_aware else (bags, labels)
                 self.params, self.opt_state, loss, probs = self._train_step(
                     self.params, self.model_state, self.opt_state,
-                    bags, labels, step_rng,
+                    *step_args, step_rng,
                 )
                 losses.append(loss)
                 train_probs.append(np.asarray(probs))
@@ -663,9 +696,9 @@ class Trainer:
             self.dm.eval_batches(mode, batch_size=self.cfg.eval_batch_size),
             with_labels=False,
         )
-        for batch, bags, _ in staged:
+        for batch, bags, _, coords in staged:
             fn = self._eval_fn(bags.shape[1:], with_attn=with_attn)
-            probs, logits, attn_rows = fn(self.params, self.model_state, bags)
+            probs, logits, attn_rows = fn(self.params, self.model_state, bags, coords)
             all_probs.append(np.asarray(probs))
             all_logits.append(np.asarray(logits))
             all_labels.append(batch.labels)
