@@ -205,3 +205,27 @@ def test_cli_fast_dev_run_synthetic_config(tmp_path):
     summary = train_main(["--stage", "train", "--config", cfg, "--fast_dev_run",
                           "--log_dir", str(tmp_path)])
     assert "test_patient_auroc" in summary or "val_auc" in summary
+
+
+def test_visualizer_coord_aware(tmp_path):
+    """Visualizer passes the slide's real coords to coord-aware heads."""
+    from transmil_deepgraft_tpu.visualize.heatmap import Visualizer
+
+    rng = np.random.default_rng(0)
+    n = 25
+    bag = rng.standard_normal((n, D)).astype(np.float32)
+    coords = rng.integers(0, 12, (n, 2)).astype(np.int32)
+    model = _model()
+    v = model.init({"params": jax.random.key(0)}, bag[None], jnp.asarray(coords[None], jnp.float32))
+    viz = Visualizer(model, v, out_dir=tmp_path)
+    result = viz.run_slide(bag, coords, "s0")
+    for p in result["paths"]:
+        assert p.exists()
+    # the attention scores must be the coord-conditioned ones (min-max
+    # normalized, visualize_mil.py:585-592 semantics), not the grid fallback
+    direct = np.asarray(
+        model.apply(v, bag[None], jnp.asarray(coords[None], jnp.float32),
+                    return_attn=True)[1].tile_scores().mean(axis=1)[0]
+    )
+    direct = (direct - direct.min()) / (direct.max() - direct.min() + 1e-12)
+    np.testing.assert_allclose(result["attention"], direct, rtol=2e-4, atol=2e-6)

@@ -185,17 +185,27 @@ class Visualizer:
         self.variables = variables
         self.out_dir = Path(out_dir)
         self.target_class = target_class
-        self._fwd_attn = jax.jit(
-            lambda v, x: self.model.apply(v, x, deterministic=True, return_attn=True)
-        )
-        self._fwd = jax.jit(lambda v, x: self.model.apply(v, x, deterministic=True))
+        # coord-aware heads (RoFormerMIL) take the slide's tile coords as a
+        # second forward argument; reference heads keep the 1-arg signature
+        self._coord_aware = bool(getattr(model, "coord_aware", False))
+        if self._coord_aware:
+            self._fwd_attn = jax.jit(
+                lambda v, x, c: self.model.apply(v, x, c, deterministic=True, return_attn=True)
+            )
+            self._fwd = jax.jit(lambda v, x, c: self.model.apply(v, x, c, deterministic=True))
+        else:
+            self._fwd_attn = jax.jit(
+                lambda v, x: self.model.apply(v, x, deterministic=True, return_attn=True)
+            )
+            self._fwd = jax.jit(lambda v, x: self.model.apply(v, x, deterministic=True))
 
     def run_slide(self, bag: np.ndarray, coords: np.ndarray, slide_name: str) -> dict:
         x = jnp.asarray(bag[None] if bag.ndim == 2 else bag)
-        logits, attn = self._fwd_attn(self.variables, x)
+        cargs = (jnp.asarray(np.asarray(coords, np.float32)[None]),) if self._coord_aware else ()
+        logits, attn = self._fwd_attn(self.variables, x, *cargs)
         attn_scores = attention_tile_scores(attn)
         cam_scores = gradcam_tile_scores(
-            lambda b: self._fwd(self.variables, b), x, self.target_class
+            lambda b: self._fwd(self.variables, b, *cargs), x, self.target_class
         )
 
         attn_map = assemble_heatmap(coords, attn_scores)
