@@ -347,6 +347,7 @@ def test_slide_bundle_attention(tmp_path):
 @pytest.mark.parametrize("name,dim", [
     ("TransMIL", 64), ("AttMIL", 64), ("TransformerMIL", 64), ("Chowder", 64),
     ("CLAM_SB", 64), ("CLAM_MB", 64), ("DTFD", 64), ("MDMIL", 1024),
+    ("RoFormerMIL", 64),
 ])
 def test_every_feature_head_exports(tmp_path, name, dim):
     """Registry-wide: every feature-bag head ships as a .tdx and serves
@@ -367,3 +368,61 @@ def test_every_feature_head_exports(tmp_path, name, dim):
         lg, scores = bundle.predict_logits_with_attention(feats)
         assert scores.shape == (1, 256) and np.isfinite(scores).all()
         np.testing.assert_allclose(lg, logits, atol=1e-5)
+
+
+def test_coord_aware_bundle_roundtrip(tmp_path):
+    """RoFormerMIL bundles carry the coords input: predict(feats, coords)
+    matches the live model with the same coords, differs from the grid
+    fallback, and the daemon accepts a JSON 'coords' field."""
+    import json as _json
+
+    rng = np.random.default_rng(0)
+    dim, n = 48, 200
+    model = create_model("RoFormerMIL", n_classes=2, in_features=dim,
+                         out_features=32, depth=1, heads=2, dim_head=16, mlp_dim=32)
+    x = np.zeros((1, 256, dim), np.float32)
+    variables = jax.device_get(model.init({"params": jax.random.key(0)}, x))
+    path = tmp_path / "rope.tdx"
+    meta = export_serving_bundle(model, variables, path, model_name="RoFormerMIL",
+                                 in_features=dim, buckets=(256,), platforms=("cpu",))
+    assert meta["coord_aware"]
+    bundle = ServingBundle.load(path)
+
+    feats = rng.standard_normal((1, n, dim)).astype(np.float32)
+    coords = rng.integers(0, 30, (1, n, 2)).astype(np.float32)
+    got = bundle.predict_logits(feats, coords)
+    # live model on the SAME bucket-padded inputs
+    padded = np.zeros((1, 256, dim), np.float32); padded[:, :n] = feats
+    pc = np.zeros((1, 256, 2), np.float32); pc[:, :n] = coords
+    live = np.asarray(model.apply(variables, padded, pc, deterministic=True))
+    np.testing.assert_allclose(got, live, rtol=2e-5, atol=2e-5)
+    # coords matter: fallback-grid answer differs
+    fallback = bundle.predict_logits(feats)
+    assert np.abs(fallback - got).max() > 1e-4
+    if meta["attention"]:
+        lg, scores = bundle.predict_logits_with_attention(feats, coords)
+        assert scores.shape == (1, n)
+        np.testing.assert_allclose(lg, got, atol=1e-5)
+
+    # daemon: JSON body with coords
+    import threading
+    import urllib.request
+
+    from transmil_deepgraft_tpu.cli.serve import make_server
+
+    srv = make_server(bundle, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = _json.dumps({"features": feats[0].tolist(),
+                            "coords": coords[0].tolist()}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_address[1]}/predict", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            doc = _json.loads(resp.read())
+        np.testing.assert_allclose(np.asarray(doc["logits"]), got, rtol=2e-4, atol=2e-4)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join()

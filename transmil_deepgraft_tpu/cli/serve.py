@@ -64,12 +64,20 @@ def warmup(bundle) -> None:
             bundle.embed_tiles(np.zeros((1, hw, hw, 3), dt))
 
 
-def _predict(bundle, lock: threading.Lock, feats: np.ndarray) -> dict:
+def _predict(bundle, lock: threading.Lock, feats: np.ndarray, coords=None) -> dict:
     feats = np.asarray(feats, np.float32)
     if feats.ndim == 2:
         feats = feats[None]
     if feats.ndim != 3:
         raise ValueError(f"features must be (n, D) or (B, n, D), got {feats.shape}")
+    if coords is not None:
+        coords = np.asarray(coords, np.float32)
+        if coords.ndim == 2:
+            coords = coords[None]
+        if coords.shape[:2] != feats.shape[:2] or coords.shape[-1] != 2:
+            raise ValueError(
+                f"coords must be {feats.shape[:2] + (2,)}, got {coords.shape}"
+            )
     # bundles are exported at a fixed batch (default 1): run the request's
     # bags through in exported-batch chunks
     eb = int(bundle.meta.get("batch", 1))
@@ -77,10 +85,13 @@ def _predict(bundle, lock: threading.Lock, feats: np.ndarray) -> dict:
     pad = (-nbags) % eb  # bundle requires exact batch: pad the final chunk
     if pad:
         feats = np.concatenate([feats, np.zeros((pad, *feats.shape[1:]), np.float32)])
+        if coords is not None:
+            coords = np.concatenate([coords, np.zeros((pad, *coords.shape[1:]), np.float32)])
     with lock:
         logits = np.concatenate(
-            [np.asarray(bundle.predict_logits(feats[i : i + eb]))
-             for i in range(0, feats.shape[0], eb)]
+            [np.asarray(bundle.predict_logits(
+                feats[i : i + eb], None if coords is None else coords[i : i + eb]
+            )) for i in range(0, feats.shape[0], eb)]
         )[:nbags]
     e = np.exp(logits - logits.max(axis=-1, keepdims=True))
     probs = e / e.sum(axis=-1, keepdims=True)
@@ -196,11 +207,18 @@ def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
                 n = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(n)
                 ctype = self.headers.get("Content-Type", "application/json")
+                coords = None
                 if ctype.startswith("application/octet-stream"):
-                    arr = np.load(io.BytesIO(raw), allow_pickle=False)
+                    loaded = np.load(io.BytesIO(raw), allow_pickle=False)
+                    if hasattr(loaded, "files"):  # .npz: features (+ coords)
+                        arr = loaded["features"]
+                        coords = loaded["coords"] if "coords" in loaded.files else None
+                    else:
+                        arr = loaded
                 else:
                     doc = json.loads(raw)
                     arr = np.asarray(doc.get("features", doc.get("tiles", doc.get("bags"))))
+                    coords = np.asarray(doc["coords"]) if "coords" in doc else None
                 if self.path == "/predict_slide":
                     # slide bundles: (N, H, W, 3) raw u8 or normalized f32
                     # tiles -> slide probabilities (.npy body recommended;
@@ -228,7 +246,7 @@ def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
                         "pred": int(np.argmax(logits)),
                     })
                 else:
-                    self._send(200, _predict(bundle, lock, arr))
+                    self._send(200, _predict(bundle, lock, arr, coords))
             except Exception as e:  # noqa: BLE001 - surface as HTTP 400
                 status = 400
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})

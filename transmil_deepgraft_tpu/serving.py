@@ -48,37 +48,66 @@ DEFAULT_SERVING_BUCKETS: tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192, 16
 SLIDE_SERVING_BUCKETS: tuple[int, ...] = DEFAULT_SERVING_BUCKETS + (32768, 65536)
 
 
-def _eval_forward(model, is_dtfd: bool):
-    """The trainer's deterministic eval forward (trainer._forward_logits)."""
+def _eval_forward(model, is_dtfd: bool, coord_aware: bool = False):
+    """The trainer's deterministic eval forward (trainer._forward_logits).
 
-    def fwd(variables, bags):
-        out = model.apply(variables, bags, deterministic=True)
+    ``coord_aware`` exports a (variables, bags, coords) signature for heads
+    that attend over tile coordinates (RoFormerMIL)."""
+
+    def post(out):
         if is_dtfd:  # (sub-bag logits, slide logits) -> slide logits
             return out[1]
         if isinstance(out, tuple):  # heads defaulting to return_attn=True
             return out[0]  # (MDMIL): keep the bundle output = logits
         return out
 
+    if coord_aware:
+        def fwd(variables, bags, coords):
+            return post(model.apply(variables, bags, coords, deterministic=True))
+    else:
+        def fwd(variables, bags):
+            return post(model.apply(variables, bags, deterministic=True))
+
     return fwd
 
 
-def _attn_forward(model):
-    """(variables, bags) -> (logits, per-tile scores (B, n)) via return_attn.
+def _attn_forward(model, coord_aware: bool = False):
+    """(variables, bags[, coords]) -> (logits, per-tile scores (B, n)) via
+    return_attn.
 
     TransMIL-family heads return an attention payload with ``tile_scores()``
     (heads averaged, reference ``visualize_mil.py:584-592`` semantics);
     gated-attention heads return the (B, K, n) / (B, n) weights directly."""
     import jax.numpy as jnp
 
-    def fwd(variables, bags):
-        logits, attn = model.apply(variables, bags, deterministic=True, return_attn=True)
+    def post(bags, logits, attn):
         scores = attn.tile_scores() if hasattr(attn, "tile_scores") else jnp.asarray(attn)
         # normalize every head's layout to (B, n): average any extra axes
         # (TransMIL heads, AttMIL K branches, CLAM_MB per-class branches)
         scores = scores.reshape(bags.shape[0], -1, bags.shape[1]).mean(axis=1)
         return logits, scores
 
+    if coord_aware:
+        def fwd(variables, bags, coords):
+            logits, attn = model.apply(variables, bags, coords, deterministic=True, return_attn=True)
+            return post(bags, logits, attn)
+    else:
+        def fwd(variables, bags):
+            logits, attn = model.apply(variables, bags, deterministic=True, return_attn=True)
+            return post(bags, logits, attn)
+
     return fwd
+
+
+def _grid_coords(n: int, batch: int) -> np.ndarray:
+    """Row-major (x, y) positions on the ``ceil(sqrt(n))`` square grid — the
+    same fallback coord-aware heads use internally for coord-less bags."""
+    import math
+
+    side = max(int(math.ceil(math.sqrt(max(n, 1)))), 1)
+    idx = np.arange(n)
+    xy = np.stack([idx % side, idx // side], axis=-1).astype(np.float32)
+    return np.broadcast_to(xy[None], (batch, n, 2)).copy()
 
 
 def export_serving_bundle(
@@ -124,10 +153,17 @@ def export_serving_bundle(
 
         model = dataclasses.replace(model, fused_inference=False)
     is_dtfd = model_name in ("DTFD", "DTFDMIL")
-    fwd = jax.jit(_eval_forward(model, is_dtfd))
+    coord_aware = bool(getattr(model, "coord_aware", False))
+    fwd = jax.jit(_eval_forward(model, is_dtfd, coord_aware))
     var_specs = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), variables
     )
+
+    def input_specs(n):
+        specs = [jax.ShapeDtypeStruct((batch, n, in_features), np.float32)]
+        if coord_aware:
+            specs.append(jax.ShapeDtypeStruct((batch, n, 2), np.float32))
+        return specs
     buckets = tuple(sorted(int(b) for b in buckets))
 
     exports: dict[str, bytes] = {}
@@ -135,9 +171,8 @@ def export_serving_bundle(
     if symbolic in ("auto", True):
         try:
             (n,) = jex.symbolic_shape("n", constraints=(f"n >= {buckets[0]}",))
-            spec = jax.ShapeDtypeStruct((batch, n, in_features), np.float32)
             exports["symbolic"] = jex.export(fwd, platforms=tuple(platforms))(
-                var_specs, spec
+                var_specs, *input_specs(n)
             ).serialize()
             mode = "symbolic"
         except Exception:
@@ -145,28 +180,25 @@ def export_serving_bundle(
                 raise
     if mode is None:
         for b in buckets:
-            spec = jax.ShapeDtypeStruct((batch, b, in_features), np.float32)
             exports[str(b)] = jex.export(fwd, platforms=tuple(platforms))(
-                var_specs, spec
+                var_specs, *input_specs(b)
             ).serialize()
         mode = "bucketed"
 
     has_attention = False
     if attention in ("auto", True) and not is_dtfd:
         try:
-            afwd = jax.jit(_attn_forward(model))
+            afwd = jax.jit(_attn_forward(model, coord_aware))
             if mode == "symbolic":
                 (n,) = jex.symbolic_shape("n", constraints=(f"n >= {buckets[0]}",))
-                spec = jax.ShapeDtypeStruct((batch, n, in_features), np.float32)
                 exports["attn_symbolic"] = jex.export(
                     afwd, platforms=tuple(platforms)
-                )(var_specs, spec).serialize()
+                )(var_specs, *input_specs(n)).serialize()
             else:
                 for b in buckets:
-                    spec = jax.ShapeDtypeStruct((batch, b, in_features), np.float32)
                     exports[f"attn_{b}"] = jex.export(
                         afwd, platforms=tuple(platforms)
-                    )(var_specs, spec).serialize()
+                    )(var_specs, *input_specs(b)).serialize()
             has_attention = True
         except Exception:
             if attention is True:
@@ -180,6 +212,7 @@ def export_serving_bundle(
         "mode": mode,
         "buckets": list(buckets),
         "attention": has_attention,
+        "coord_aware": coord_aware,
         "platforms": list(platforms),
         "portable": bool(portable),
         "jax_version": jax.__version__,
@@ -417,12 +450,15 @@ class ServingBundle:
             f"({self.meta['buckets'][-1]}); re-export with larger buckets"
         )
 
-    def predict_logits(self, feats: np.ndarray) -> np.ndarray:
-        """(n, D) or (B, n, D) float32 features -> (B, C) logits.
+    def _prepare_inputs(
+        self, feats: np.ndarray, coords: Optional[np.ndarray]
+    ) -> tuple[int, int, tuple]:
+        """Validate + bucket-pad a request: returns (n_real, target, args) where
+        ``args`` are the exported call's inputs after the variables (bags, and
+        coords for coord-aware bundles — grid fallback when none supplied).
 
-        Bags are zero-padded to the serving shape — identical to the
-        trainer's ``eval_pad='bucket'`` policy (data/datamodule.collate).
-        """
+        Bags are zero-padded to the serving shape — identical to the trainer's
+        ``eval_pad='bucket'`` policy (data/datamodule.collate)."""
         feats = np.asarray(feats, np.float32)
         if feats.ndim == 2:
             feats = feats[None]
@@ -436,17 +472,40 @@ class ServingBundle:
             feats = np.concatenate(
                 [feats, np.zeros((b, target - n, d), np.float32)], axis=1
             )
-        key = "symbolic" if self.meta["mode"] == "symbolic" else str(target)
-        return np.asarray(self._call_for(key)(self._dev_head_vars(), feats))
+        if not self.meta.get("coord_aware"):
+            return n, target, (feats,)
+        if coords is None:
+            coords = _grid_coords(n, b)
+        else:
+            coords = np.asarray(coords, np.float32)
+            if coords.ndim == 2:
+                coords = coords[None]
+            if coords.shape != (b, n, 2):
+                raise ValueError(f"coords must be ({b}, {n}, 2), got {coords.shape}")
+        if target != n:
+            coords = np.concatenate(
+                [coords, np.zeros((b, target - n, 2), np.float32)], axis=1
+            )
+        return n, target, (feats, coords)
 
-    def predict(self, feats: np.ndarray) -> np.ndarray:
+    def predict_logits(self, feats: np.ndarray, coords: Optional[np.ndarray] = None) -> np.ndarray:
+        """(n, D) or (B, n, D) float32 features -> (B, C) logits.
+
+        Coord-aware bundles (``meta['coord_aware']``, RoFormerMIL) accept the
+        tiles' (n, 2) grid coords; without them the square-grid fallback the
+        model itself uses for coord-less bags is synthesized."""
+        _, target, args = self._prepare_inputs(feats, coords)
+        key = "symbolic" if self.meta["mode"] == "symbolic" else str(target)
+        return np.asarray(self._call_for(key)(self._dev_head_vars(), *args))
+
+    def predict(self, feats: np.ndarray, coords: Optional[np.ndarray] = None) -> np.ndarray:
         """(n, D) or (B, n, D) features -> (B, C) class probabilities."""
-        logits = self.predict_logits(feats)
+        logits = self.predict_logits(feats, coords)
         e = np.exp(logits - logits.max(axis=-1, keepdims=True))
         return e / e.sum(axis=-1, keepdims=True)
 
     def predict_logits_with_attention(
-        self, feats: np.ndarray
+        self, feats: np.ndarray, coords: Optional[np.ndarray] = None
     ) -> tuple[np.ndarray, np.ndarray]:
         """(n, D) or (B, n, D) features -> ((B, C) logits, (B, n) per-tile
         attention scores) via the exported ``return_attn`` forward (requires
@@ -455,21 +514,9 @@ class ServingBundle:
             raise ValueError(
                 "bundle exported without attention; re-export with attention=True"
             )
-        feats = np.asarray(feats, np.float32)
-        if feats.ndim == 2:
-            feats = feats[None]
-        b, n, d = feats.shape
-        if d != self.meta["in_features"]:
-            raise ValueError(f"expected in_features={self.meta['in_features']}, got {d}")
-        if b != self.meta["batch"]:
-            raise ValueError(f"bundle exported for batch={self.meta['batch']}, got {b}")
-        target = self._pad_target(n)
-        if target != n:
-            feats = np.concatenate(
-                [feats, np.zeros((b, target - n, d), np.float32)], axis=1
-            )
+        n, target, args = self._prepare_inputs(feats, coords)
         key = "attn_symbolic" if self.meta["mode"] == "symbolic" else f"attn_{target}"
-        logits, scores = self._call_for(key)(self._dev_head_vars(), feats)
+        logits, scores = self._call_for(key)(self._dev_head_vars(), *args)
         return np.asarray(logits), np.asarray(scores)[:, :n]
 
     # ------------------------------------------------------- slide bundles
