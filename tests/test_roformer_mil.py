@@ -229,3 +229,36 @@ def test_visualizer_coord_aware(tmp_path):
     )
     direct = (direct - direct.min()) / (direct.max() - direct.min() + 1e-12)
     np.testing.assert_allclose(result["attention"], direct, rtol=2e-4, atol=2e-6)
+
+
+def test_inference_pipeline_coord_aware(tmp_path):
+    """SlideInferencePipeline feeds real tile coords to coord-aware heads."""
+    from transmil_deepgraft_tpu.inference import SlideInferencePipeline
+    from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+
+    rng = np.random.default_rng(0)
+    backbone = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+    bv = jax.device_get(
+        backbone.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 3)))
+    )
+    head = RoFormerMIL(n_classes=2, in_features=2048, out_features=32, depth=1,
+                       heads=2, dim_head=16, mlp_dim=32)
+    hv = head.init({"params": jax.random.key(1)}, jnp.zeros((1, 4, 2048)))
+    tiles = rng.standard_normal((6, 64, 64, 3)).astype(np.float32)
+    coords = rng.integers(0, 10, (6, 2)).astype(np.float32)
+
+    pipe = SlideInferencePipeline(bv, head, hv, chunk=4)  # bf16 embed path
+    probs, attn = pipe.predict_slide_with_attention(tiles, coords)
+    assert probs.shape == (2,) and attn.shape == (6,)
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
+    # coord-conditioned: matches direct head apply on the pipeline's features
+    feats = pipe.embed(tiles)  # (6, 2048)
+    want = np.asarray(jax.nn.softmax(head.apply(
+        hv, jnp.asarray(feats[None]), jnp.asarray(coords[None]), deterministic=True
+    ), axis=-1))[0]
+    np.testing.assert_allclose(probs, want, rtol=2e-4, atol=2e-5)
+    # and differs from the coord-less fallback
+    fallback = pipe.predict_slide(tiles)
+    assert np.abs(fallback - probs).max() > 1e-5
+    with pytest.raises(ValueError, match="coords"):
+        pipe.predict_slide(tiles, coords[:3])

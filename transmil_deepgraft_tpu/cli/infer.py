@@ -124,7 +124,11 @@ def main(argv: list[str] | None = None) -> list[dict]:
                 fused_backbone=args.quantize == "int8_fused",
                 mesh=mesh,
             )
-        probs, attn = pipeline.predict_slide_with_attention(tiles)
+        coords = None
+        if getattr(head, "coord_aware", False):
+            # coord-aware heads get the real (x-y) filename coords
+            coords = np.asarray([parse_coords(p.name) for p in tile_paths], np.float32)
+        probs, attn = pipeline.predict_slide_with_attention(tiles, coords)
         order = np.argsort(attn)[::-1][: args.topk]
         topk_csv = out_dir / f"{slide_dir.name}_topk_tiles.csv"
         with open(topk_csv, "w", newline="") as f:

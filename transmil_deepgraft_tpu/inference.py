@@ -149,12 +149,35 @@ class SlideInferencePipeline:
             **jit_kwargs,
         )
 
-        self._head_fwd = jax.jit(
-            lambda v, f: jax.nn.softmax(self.head.apply(v, f, deterministic=True), axis=-1)
-        )
-        self._head_attn = jax.jit(
-            lambda v, f: self.head.apply(v, f, deterministic=True, return_attn=True)
-        )
+        # coord-aware heads (RoFormerMIL) take the tiles' grid coords as a
+        # second forward argument (square-grid fallback when none supplied)
+        self._coord_aware = bool(getattr(head_model, "coord_aware", False))
+        if self._coord_aware:
+            self._head_fwd = jax.jit(
+                lambda v, f, c: jax.nn.softmax(
+                    self.head.apply(v, f, c, deterministic=True), axis=-1
+                )
+            )
+            self._head_attn = jax.jit(
+                lambda v, f, c: self.head.apply(v, f, c, deterministic=True, return_attn=True)
+            )
+        else:
+            self._head_fwd = jax.jit(
+                lambda v, f: jax.nn.softmax(self.head.apply(v, f, deterministic=True), axis=-1)
+            )
+            self._head_attn = jax.jit(
+                lambda v, f: self.head.apply(v, f, deterministic=True, return_attn=True)
+            )
+
+    def _coord_args(self, coords, n: int) -> tuple:
+        if not self._coord_aware:
+            return ()
+        if coords is None:
+            return (None,)  # model-internal square-grid fallback
+        coords = np.asarray(coords, np.float32)
+        if coords.shape != (n, 2):
+            raise ValueError(f"coords must be ({n}, 2), got {coords.shape}")
+        return (jnp.asarray(coords[None]),)
 
     def embed(self, tiles: np.ndarray) -> np.ndarray:
         """Chunked tile embedding -> (N, D) f32 features. Accepts normalized
@@ -193,15 +216,20 @@ class SlideInferencePipeline:
             lambda b: embed(*self._embed_args, jnp.asarray(b)), tiles, self.chunk
         )
 
-    def predict_slide(self, tiles: np.ndarray) -> np.ndarray:
-        """(N, H, W, 3) tiles -> (C,) slide class probabilities."""
+    def predict_slide(self, tiles: np.ndarray, coords: Optional[np.ndarray] = None) -> np.ndarray:
+        """(N, H, W, 3) tiles -> (C,) slide class probabilities. ``coords``
+        ((N, 2) tile grid positions) feed coord-aware heads (RoFormerMIL)."""
         feats = self.embed_device(tiles)
-        return np.asarray(self._head_fwd(self.hv, feats[None]))[0]
+        cargs = self._coord_args(coords, len(tiles))
+        return np.asarray(self._head_fwd(self.hv, feats[None], *cargs))[0]
 
-    def predict_slide_with_attention(self, tiles: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def predict_slide_with_attention(
+        self, tiles: np.ndarray, coords: Optional[np.ndarray] = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (probs (C,), per-tile attention scores (N,))."""
         feats = self.embed_device(tiles)
-        logits, attn = self._head_attn(self.hv, feats[None])
+        cargs = self._coord_args(coords, len(tiles))
+        logits, attn = self._head_attn(self.hv, feats[None], *cargs)
         probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
         scores = np.asarray(attn.tile_scores().mean(axis=1))[0]
         return probs, scores
