@@ -262,3 +262,33 @@ def test_inference_pipeline_coord_aware(tmp_path):
     assert np.abs(fallback - probs).max() > 1e-5
     with pytest.raises(ValueError, match="coords"):
         pipe.predict_slide(tiles, coords[:3])
+
+
+def test_kfold_ensemble_coord_aware(tmp_path):
+    """k-fold + logit-mean ensemble over a coord-aware head: the ensemble
+    forward and attention export consume the staged coords."""
+    from transmil_deepgraft_tpu.data.datamodule import MILDataModule
+    from transmil_deepgraft_tpu.train.kfold import run_kfold
+    from transmil_deepgraft_tpu.train.losses import create_loss
+    from transmil_deepgraft_tpu.train.optimizers import create_optimizer
+    from transmil_deepgraft_tpu.train.trainer import Trainer, TrainerConfig
+
+    dm = MILDataModule(
+        n_classes=2, max_bag_size=16, batch_size=4,
+        synthetic={"n_train": 12, "n_val": 6, "n_test": 6, "bag_size": 16,
+                   "feature_size": 24, "signal": 2.0},
+        seed=0,
+    )
+
+    def build(fold_dm, log_dir):
+        model = RoFormerMIL(n_classes=2, in_features=24, out_features=16, depth=1,
+                            heads=2, dim_head=8, mlp_dim=16)
+        tx = create_optimizer(opt="adam", lr=1e-3, weight_decay=0.0)
+        cfg = TrainerConfig(epochs=1, patience=5, log_dir=log_dir, task="norm_rest")
+        return Trainer(model, tx, fold_dm, n_classes=2, loss_fn=create_loss(),
+                       config=cfg, model_name="RoFormerMIL")
+
+    result = run_kfold(build, dm, nfold=2, export_dir=tmp_path / "kf", seed=0)
+    assert len(result.fold_metrics) == 2
+    assert 0.0 <= result.ensemble_metrics["ensemble_auc"] <= 1.0
+    assert list((tmp_path / "kf" / "ensemble_topk_tiles").glob("*.csv"))
