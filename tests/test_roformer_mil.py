@@ -292,3 +292,169 @@ def test_kfold_ensemble_coord_aware(tmp_path):
     assert len(result.fold_metrics) == 2
     assert 0.0 <= result.ensemble_metrics["ensemble_auc"] <= 1.0
     assert list((tmp_path / "kf" / "ensemble_topk_tiles").glob("*.csv"))
+
+
+# ----------------------------------------------------- coords padding contract
+def test_normalize_pad_coords_contract():
+    """data/coords.py: per-axis min-normalize THEN zero-pad — pad rows coincide
+    with the bag min, so translation is removed host-side and the model's
+    internal anchoring stays a no-op on padded bags."""
+    from transmil_deepgraft_tpu.data.coords import grid_coords, normalize_pad_coords
+
+    c = np.array([[10, 7], [12, 3], [11, 9]], np.float32)
+    out = normalize_pad_coords(c, 5)
+    assert out.shape == (5, 2)
+    np.testing.assert_array_equal(out[:3], c - [10, 3])
+    np.testing.assert_array_equal(out[3:], 0.0)
+    # translation invariance holds through the contract exactly
+    np.testing.assert_array_equal(out, normalize_pad_coords(c + [123, -45], 5))
+    # truncation branch + empty input
+    assert normalize_pad_coords(c, 2).shape == (2, 2)
+    assert normalize_pad_coords(np.zeros((0, 2)), 3).shape == (3, 2)
+    g = grid_coords(5, 2)
+    assert g.shape == (2, 5, 2) and g[0, 0].tolist() == [0, 0]
+
+
+def test_synthetic_trainview_coords_row_aligned():
+    """_TrainViewSynthetic keeps coords aligned with the bag through its
+    subsample/pad/shuffle (review finding: it previously returned the raw
+    meta coords while the bag rows were permuted twice)."""
+    from transmil_deepgraft_tpu.data.datamodule import _TrainViewSynthetic
+    from transmil_deepgraft_tpu.data.synthetic import SyntheticBagDataset
+
+    ds = SyntheticBagDataset(n_slides=4, bag_size=20, feature_size=8,
+                             variable_bags=True, seed=0)
+    view = _TrainViewSynthetic(ds, max_bag_size=12, mixup=False)
+    bag, _, (_, coords, _) = view.get_item(0, np.random.default_rng(1))
+    feats0, _, (_, coords0, _) = ds[0]
+    nonpad = np.where(bag.any(axis=1))[0]
+    orig = [np.where((feats0 == bag[i]).all(axis=1))[0][0] for i in nonpad]
+    submin = coords0[orig].min(axis=0)
+    for row, j in zip(nonpad, orig):
+        np.testing.assert_array_equal(coords[row], coords0[j] - submin)
+
+
+def test_collate_rejects_placeholder_coords():
+    """Full-length all-zero coords (the image-bag loaders' 'no coords'
+    convention) must NOT be promoted to padded_coords."""
+    from transmil_deepgraft_tpu.data.datamodule import collate
+
+    bag = np.ones((5, 8), np.float32)
+    items = [(bag, 0, ("s0", np.zeros((5, 2), np.int32), "p0"))]
+    assert collate(items, eval_pad="exact").padded_coords is None
+    # degenerate (0, 2) placeholders too
+    items = [(bag, 0, ("s0", np.zeros((0, 2), np.int32), "p0"))]
+    assert collate(items, eval_pad="exact").padded_coords is None
+    # real coords ARE promoted, normalized to per-axis min 0
+    real = np.array([[3, 4], [3, 5], [4, 4], [5, 6], [3, 9]], np.int32)
+    batch = collate([(bag, 0, ("s0", real, "p0"))], eval_pad="exact")
+    np.testing.assert_array_equal(batch.padded_coords[0], (real - [3, 4]).astype(np.float32))
+
+
+def test_bundle_coordless_fallback_matches_live_model(tmp_path):
+    """Coord-less predict from a coord-aware bundle == the live model on the
+    identically padded bag with the PADDED-length grid (the trainer/model
+    convention — review finding: the bundle previously gridded the real
+    length then zero-padded)."""
+    from transmil_deepgraft_tpu.data.coords import grid_coords
+    from transmil_deepgraft_tpu.serving import ServingBundle, export_serving_bundle
+
+    model = _model()
+    x = np.zeros((1, 64, D), np.float32)
+    variables = jax.device_get(model.init({"params": jax.random.key(0)}, x))
+    path = tmp_path / "r.tdx"
+    export_serving_bundle(model, variables, path, model_name="RoFormerMIL",
+                          in_features=D, buckets=(64,), platforms=("cpu",))
+    bundle = ServingBundle.load(path)
+    feats = np.random.default_rng(0).standard_normal((1, 50, D)).astype(np.float32)
+    got = bundle.predict_logits(feats)
+    padded = np.zeros((1, 64, D), np.float32); padded[:, :50] = feats
+    live = np.asarray(model.apply(
+        variables, jnp.asarray(padded), jnp.asarray(grid_coords(64, 1)), deterministic=True
+    ))
+    np.testing.assert_allclose(got, live, rtol=2e-5, atol=2e-5)
+
+
+def test_slide_bundle_coord_aware(tmp_path):
+    """Slide bundles from a coord-aware head carry the coords input end to
+    end (tiles + coords -> probs), and non-coord slide bundles refuse coords."""
+    from transmil_deepgraft_tpu.models import TransMIL
+    from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+    from transmil_deepgraft_tpu.serving import ServingBundle, export_slide_bundle
+
+    rng = np.random.default_rng(0)
+    backbone = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+    bv = jax.device_get(
+        backbone.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 3)))
+    )
+    head = RoFormerMIL(n_classes=2, in_features=2048, out_features=32, depth=1,
+                       heads=2, dim_head=16, mlp_dim=32)
+    hv = head.init({"params": jax.random.key(1)}, jnp.zeros((1, 4, 2048)))
+    path = tmp_path / "rope_slide.tdx"
+    meta = export_slide_bundle(bv, head, hv, path, model_name="RoFormerMIL",
+                               in_features=2048, chunk=4, tile_hw=64,
+                               head_buckets=(8,), platforms=("cpu",))
+    assert meta["coord_aware"]
+    bundle = ServingBundle.load(path)
+    tiles = rng.standard_normal((6, 64, 64, 3)).astype(np.float32)
+    coords = rng.integers(0, 9, (6, 2)).astype(np.float32)
+    probs = bundle.predict_slide(tiles, coords)
+    assert probs.shape == (2,)
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
+    # coords-conditioned differs from the grid fallback
+    assert np.abs(bundle.predict_slide(tiles) - probs).max() > 1e-6
+    if meta["attention"]:
+        probs2, scores = bundle.predict_slide_with_attention(tiles, coords)
+        assert scores.shape == (6,)
+        np.testing.assert_allclose(probs2, probs, atol=1e-5)
+
+    # non-coord slide bundles refuse coords loudly
+    head2 = TransMIL(n_classes=2, in_features=2048, out_features=32)
+    hv2 = head2.init({"params": jax.random.key(2)}, jnp.zeros((1, 8, 2048)))
+    path2 = tmp_path / "tm_slide.tdx"
+    export_slide_bundle(bv, head2, hv2, path2, model_name="TransMIL",
+                        in_features=2048, chunk=4, tile_hw=64,
+                        head_buckets=(8,), platforms=("cpu",))
+    b2 = ServingBundle.load(path2)
+    with pytest.raises(ValueError, match="coord-aware"):
+        b2.predict_slide(tiles, coords)
+
+
+def test_infer_cli_roformer_head(tmp_path):
+    """transmil-infer --model RoFormerMIL: the coord-aware branch is reachable
+    from the CLI and consumes the tiles' real filename coords (review finding:
+    the head used to be hardcoded to TransMIL)."""
+    from flax import serialization
+    from PIL import Image
+
+    from transmil_deepgraft_tpu.cli.infer import main as infer_main
+    from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "BLOCKS"
+    d = root / "slideA"
+    d.mkdir(parents=True)
+    for t in range(4):
+        arr = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"tile_({t}-1).jpg")
+
+    backbone = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+    bv = jax.device_get(
+        backbone.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 3)))
+    )
+    (tmp_path / "bb.msgpack").write_bytes(serialization.msgpack_serialize(bv))
+    head = RoFormerMIL(n_classes=2, in_features=2048, out_features=32)  # CLI-default depth/heads
+    hv = jax.device_get(head.init({"params": jax.random.key(1)}, jnp.zeros((1, 4, 2048))))
+    (tmp_path / "head.msgpack").write_bytes(serialization.msgpack_serialize(hv))
+
+    results = infer_main([
+        "--tiles_root", str(root),
+        "--backbone_ckpt", str(tmp_path / "bb.msgpack"),
+        "--head_ckpt", str(tmp_path / "head.msgpack"),
+        "--model", "RoFormerMIL", "--out_features", "32",
+        "--quantize", "bf16", "--chunk", "4", "--tile_size", "64",
+        "--out_dir", str(tmp_path / "out"),
+    ])
+    assert len(results) == 1
+    assert abs(sum(results[0]["probs"]) - 1.0) < 1e-4
+    assert (tmp_path / "out" / "slideA_topk_tiles.csv").exists()

@@ -27,6 +27,10 @@ def make_parser() -> argparse.ArgumentParser:
                    help="ResNet50/RetCCL weights: flax msgpack or torch .pth")
     p.add_argument("--head_ckpt", required=True,
                    help="TransMIL head weights: flax msgpack or torch .pth")
+    p.add_argument("--model", default="TransMIL",
+                   help="head name from the model registry (TransMIL, AttMIL, "
+                        "RoFormerMIL, ...); coord-aware heads get the tiles' "
+                        "real (x-y) filename coords")
     p.add_argument("--n_classes", type=int, default=2)
     p.add_argument("--in_features", type=int, default=2048)
     p.add_argument("--out_features", type=int, default=512)
@@ -42,13 +46,20 @@ def make_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _load_variables(path: str, kind: str, n_classes: int, in_features: int) -> dict:
+def _load_variables(path: str, kind: str, n_classes: int, in_features: int,
+                    model_name: str = "TransMIL") -> dict:
     if path.endswith((".pth", ".pt")):
         from transmil_deepgraft_tpu.utils import torch_weights as tw
 
         sd = tw.load_torch_checkpoint(path)
         if kind == "backbone":
             return tw.convert_resnet_state_dict(sd)
+        if model_name != "TransMIL":
+            raise SystemExit(
+                f"torch .pth head conversion here covers TransMIL; convert a "
+                f"{model_name} checkpoint via utils.torch_weights and save it "
+                "as msgpack (utils.checkpoints.save_pytree) instead"
+            )
         # convert_transmil_state_dict already returns {'params': ...}
         return tw.convert_transmil_state_dict(sd, in_features=in_features)
     from flax import serialization
@@ -72,9 +83,10 @@ def main(argv: list[str] | None = None) -> list[dict]:
     out_dir.mkdir(parents=True, exist_ok=True)
 
     bb_vars = _load_variables(args.backbone_ckpt, "backbone", args.n_classes, args.in_features)
-    head = create_model("TransMIL", n_classes=args.n_classes, in_features=args.in_features,
+    head = create_model(args.model, n_classes=args.n_classes, in_features=args.in_features,
                         out_features=args.out_features)
-    head_vars = _load_variables(args.head_ckpt, "head", args.n_classes, args.in_features)
+    head_vars = _load_variables(args.head_ckpt, "head", args.n_classes, args.in_features,
+                                model_name=args.model)
 
     root = Path(args.tiles_root)
     slides = sorted(d for d in root.iterdir() if d.is_dir())

@@ -225,7 +225,7 @@ def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
                     # u8 ships 4x less than f32)
                     if bundle.meta.get("attention"):
                         with lock:
-                            logits, scores = bundle.predict_slide_logits_with_attention(arr)
+                            logits, scores = bundle.predict_slide_logits_with_attention(arr, coords)
                         e = np.exp(logits - logits.max())
                         k = min(20, scores.shape[0])
                         top = np.argsort(scores)[::-1][:k]
@@ -238,7 +238,7 @@ def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
                         })
                         return
                     with lock:
-                        logits = bundle.predict_slide_logits(arr)
+                        logits = bundle.predict_slide_logits(arr, coords)
                     e = np.exp(logits - logits.max())
                     self._send(200, {
                         "logits": logits.tolist(),

@@ -57,4 +57,8 @@ class CamelyonDataset:
             if feats.shape[0] < self.max_bag_size:
                 pad = np.zeros((self.max_bag_size - feats.shape[0], feats.shape[1]), np.float32)
                 feats = np.concatenate([feats, pad])
+                # keep coords row-aligned with the padded bag (data/coords.py)
+                from transmil_deepgraft_tpu.data.coords import normalize_pad_coords
+
+                coords = normalize_pad_coords(coords, feats.shape[0])
         return feats, self.labels[index], (name, coords, name)

@@ -25,6 +25,7 @@ import numpy as np
 
 from transmil_deepgraft_tpu.data.feature_bags import FeatureBagDataset
 from transmil_deepgraft_tpu.data.sampler import ImbalancedSampler
+from transmil_deepgraft_tpu.data.coords import normalize_pad_coords
 from transmil_deepgraft_tpu.data.synthetic import SyntheticBagDataset
 from transmil_deepgraft_tpu.ops.padding import DEFAULT_BUCKETS, bucket_for_length
 
@@ -86,14 +87,15 @@ def collate(
     target = max_len if eval_pad == "exact" else bucket_for_length(max_len, buckets)
     coords = [np.asarray(i[2][1]) for i in items]
     # batch-level aligned coords for coord-aware heads: only when every item's
-    # coords are row-aligned with its bag (true for feature/image/jpg loaders;
-    # degenerate (0, 2) placeholders make this None)
+    # coords are row-aligned with its bag AND carry real positions (degenerate
+    # (0, 2) placeholders and all-zero full-length placeholders — the
+    # image-bag loaders' "no coords" convention — make this None, which
+    # routes coord-aware heads to their square-grid fallback). Real coords
+    # are min-normalized before zero-padding (data/coords.py contract).
     padded_coords = None
-    if all(c.ndim == 2 and c.shape[0] == b.shape[0] and c.shape[1] == 2
+    if all(c.ndim == 2 and c.shape[0] == b.shape[0] and c.shape[1] == 2 and c.any()
            for c, b in zip(coords, bags)):
-        padded_coords = np.stack(
-            [_pad_to(c.astype(np.float32), target, 0.0) for c in coords]
-        )
+        padded_coords = np.stack([normalize_pad_coords(c, target) for c in coords])
     bags = np.stack([_pad_to(b, target, pad_value) for b in bags]).astype(np.float32)
     return Batch(
         bags=bags,
@@ -328,12 +330,15 @@ class _TrainViewSynthetic:
         return self.ds.get_labels()
 
     def get_item(self, index: int, rng: np.random.Generator):
-        feats, label, meta = self.ds[index]
+        feats, label, (name, coords, patient) = self.ds[index]
         idx = rng.permutation(feats.shape[0])[: self.max_bag_size]
         bag = feats[idx]
         bag = _pad_to(bag, self.max_bag_size)
-        bag = bag[rng.permutation(bag.shape[0])]
-        return bag, label, meta
+        # coords stay row-aligned through subsample/pad/shuffle (same rng
+        # draws as before, so bags are bit-identical for coord-free heads)
+        coords = normalize_pad_coords(np.asarray(coords)[idx], bag.shape[0])
+        perm = rng.permutation(bag.shape[0])
+        return bag[perm], label, (name, coords[perm], patient)
 
 
 class _EvalViewSynthetic:

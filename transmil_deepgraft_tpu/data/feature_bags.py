@@ -249,14 +249,14 @@ class FeatureBagDataset:
             if bag.shape[0] < self.max_bag_size:
                 pad = np.zeros((self.max_bag_size - bag.shape[0], bag.shape[1]), np.float32)
                 bag = np.concatenate([bag, pad], axis=0)
-            # keep coords row-aligned through the post-pad reshuffle (pad rows
-            # get coord 0,0) so coord-aware heads can train; the permutation
-            # draw is unchanged, so bags are bit-identical to the
-            # reference-semantics path (which never consumes train coords)
-            if coords.shape[0] < bag.shape[0]:
-                coords = np.concatenate(
-                    [coords, np.zeros((bag.shape[0] - coords.shape[0], 2), coords.dtype)], axis=0
-                )
+            # keep coords row-aligned through the post-pad reshuffle so
+            # coord-aware heads can train (min-normalize-then-zero-pad, the
+            # data/coords.py contract: pad rows coincide with the bag min);
+            # the permutation draw is unchanged, so bags are bit-identical to
+            # the reference-semantics path (which never consumes train coords)
+            from transmil_deepgraft_tpu.data.coords import normalize_pad_coords
+
+            coords = normalize_pad_coords(coords, bag.shape[0])
             perm = rng.permutation(bag.shape[0])
             return bag[perm], label, (name, coords[perm], patient)
 

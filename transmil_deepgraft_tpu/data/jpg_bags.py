@@ -113,6 +113,10 @@ class JPGMILDataset:
         if self.mode in ("train", "fine_tune") and len(tiles) < self.max_bag_size:
             pad = np.zeros((self.max_bag_size - len(tiles), *imgs.shape[1:]), np.float32)
             imgs = np.concatenate([imgs, pad])
+            # keep coords row-aligned with the padded bag (data/coords.py contract)
+            from transmil_deepgraft_tpu.data.coords import normalize_pad_coords
+
+            coords = normalize_pad_coords(coords, imgs.shape[0])
         return imgs, self.labels[index], (self.names[index], coords, self.patients[index])
 
 

@@ -170,6 +170,10 @@ class RoFormerMIL(nn.Module):
         # relative (RoPE), but the cls token sits at an absolute (0, 0), so
         # without this a whole-slide coordinate shift would change cls-query
         # attention. Normalizing makes the head translation-invariant exactly.
+        # NOTE the padding contract (data/coords.py): producers of PADDED
+        # coords min-normalize the real rows before zero-padding, so pad rows
+        # coincide with the bag min and this subtraction stays a no-op —
+        # raw zero-padding would pin the min at (0, 0) and break anchoring.
         coords = coords - jnp.min(coords, axis=1, keepdims=True)
 
         cls_token = self.param(

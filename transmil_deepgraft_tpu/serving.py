@@ -99,15 +99,6 @@ def _attn_forward(model, coord_aware: bool = False):
     return fwd
 
 
-def _grid_coords(n: int, batch: int) -> np.ndarray:
-    """Row-major (x, y) positions on the ``ceil(sqrt(n))`` square grid — the
-    same fallback coord-aware heads use internally for coord-less bags."""
-    import math
-
-    side = max(int(math.ceil(math.sqrt(max(n, 1)))), 1)
-    idx = np.arange(n)
-    xy = np.stack([idx % side, idx // side], axis=-1).astype(np.float32)
-    return np.broadcast_to(xy[None], (batch, n, 2)).copy()
 
 
 def export_serving_bundle(
@@ -323,25 +314,31 @@ def export_slide_bundle(
         import dataclasses
 
         head_model = dataclasses.replace(head_model, fused_inference=False)
-    head_fwd = jax.jit(_eval_forward(head_model, model_name in ("DTFD", "DTFDMIL")))
+    coord_aware = bool(getattr(head_model, "coord_aware", False))
+    head_fwd = jax.jit(_eval_forward(head_model, model_name in ("DTFD", "DTFDMIL"), coord_aware))
     head_specs = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), head_variables
     )
+
+    def head_input_specs(b):
+        specs = [jax.ShapeDtypeStruct((1, b, in_features), np.float32)]
+        if coord_aware:
+            specs.append(jax.ShapeDtypeStruct((1, b, 2), np.float32))
+        return specs
+
     head_buckets = tuple(sorted(int(b) for b in head_buckets))
     for b in head_buckets:
-        spec = jax.ShapeDtypeStruct((1, b, in_features), np.float32)
         exports[str(b)] = jex.export(head_fwd, platforms=tuple(platforms))(
-            head_specs, spec
+            head_specs, *head_input_specs(b)
         ).serialize()
 
     has_attention = False
     if attention in ("auto", True) and model_name not in ("DTFD", "DTFDMIL"):
         try:
-            afwd = jax.jit(_attn_forward(head_model))
+            afwd = jax.jit(_attn_forward(head_model, coord_aware))
             for b in head_buckets:
-                spec = jax.ShapeDtypeStruct((1, b, in_features), np.float32)
                 exports[f"attn_{b}"] = jex.export(afwd, platforms=tuple(platforms))(
-                    head_specs, spec
+                    head_specs, *head_input_specs(b)
                 ).serialize()
             has_attention = True
         except Exception:
@@ -357,6 +354,7 @@ def export_slide_bundle(
         "mode": "bucketed",
         "buckets": list(head_buckets),
         "attention": has_attention,
+        "coord_aware": coord_aware,
         "chunk": int(chunk),
         "tile_hw": int(tile_hw),
         "backbone": precision,
@@ -473,19 +471,28 @@ class ServingBundle:
                 [feats, np.zeros((b, target - n, d), np.float32)], axis=1
             )
         if not self.meta.get("coord_aware"):
+            if coords is not None:
+                raise ValueError(
+                    "this bundle's head is not coord-aware; re-export from a "
+                    "coord-aware head (e.g. RoFormerMIL) to use coords"
+                )
             return n, target, (feats,)
+        from transmil_deepgraft_tpu.data.coords import grid_coords, normalize_pad_coords
+
         if coords is None:
-            coords = _grid_coords(n, b)
+            # grid over the PADDED length: matches both the trainer's staging
+            # fallback and what the model itself would synthesize for this
+            # padded bag — the bundle reproduces live coord-less eval exactly
+            coords = grid_coords(target, b)
         else:
             coords = np.asarray(coords, np.float32)
             if coords.ndim == 2:
                 coords = coords[None]
             if coords.shape != (b, n, 2):
                 raise ValueError(f"coords must be ({b}, {n}, 2), got {coords.shape}")
-        if target != n:
-            coords = np.concatenate(
-                [coords, np.zeros((b, target - n, 2), np.float32)], axis=1
-            )
+            # min-normalize then zero-pad (data/coords.py contract: pad rows
+            # coincide with the bag min, preserving the head's anchoring)
+            coords = np.stack([normalize_pad_coords(c, target) for c in coords])
         return n, target, (feats, coords)
 
     def predict_logits(self, feats: np.ndarray, coords: Optional[np.ndarray] = None) -> np.ndarray:
@@ -552,27 +559,52 @@ class ServingBundle:
             lambda b: call(leaves, b), tiles, int(self.meta["chunk"])
         )
 
-    def predict_slide_logits(self, tiles: np.ndarray) -> np.ndarray:
-        """(N, H, W, 3) tiles (f32 normalized or u8 raw) -> (C,) slide logits."""
+    def _slide_coord_args(self, coords, n: int, target: int) -> tuple:
+        """Head-input coords for a coord-aware slide bundle (see
+        ``_prepare_inputs`` for the feature-bundle twin)."""
+        if not self.meta.get("coord_aware"):
+            if coords is not None:
+                raise ValueError(
+                    "this slide bundle's head is not coord-aware; re-export "
+                    "from a coord-aware head (e.g. RoFormerMIL) to use coords"
+                )
+            return ()
+        from transmil_deepgraft_tpu.data.coords import grid_coords, normalize_pad_coords
+
+        if coords is None:
+            return (grid_coords(target, 1),)
+        coords = np.asarray(coords, np.float32)
+        if coords.shape != (n, 2):
+            raise ValueError(f"coords must be ({n}, 2), got {coords.shape}")
+        return (normalize_pad_coords(coords, target)[None],)
+
+    def predict_slide_logits(
+        self, tiles: np.ndarray, coords: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """(N, H, W, 3) tiles (f32 normalized or u8 raw) -> (C,) slide logits.
+        ``coords`` ((N, 2) tile grid positions) feed coord-aware heads."""
         import jax.numpy as jnp
 
         n = int(np.shape(tiles)[0])
         target = self._pad_target(n)  # BEFORE the ~seconds-long embed: a bag
         # beyond the largest exported bucket must fail fast, not post-embed
+        cargs = self._slide_coord_args(coords, n, target)
         feats = self.embed_tiles(tiles)
         if target != n:  # zero-pad the bag ON DEVICE to the head bucket
             feats = jnp.pad(feats, ((0, target - n), (0, 0)))
         key = "symbolic" if self.meta["mode"] == "symbolic" else str(target)
-        return np.asarray(self._call_for(key)(self._dev_head_vars(), feats[None]))[0]
+        return np.asarray(
+            self._call_for(key)(self._dev_head_vars(), feats[None], *cargs)
+        )[0]
 
-    def predict_slide(self, tiles: np.ndarray) -> np.ndarray:
+    def predict_slide(self, tiles: np.ndarray, coords: Optional[np.ndarray] = None) -> np.ndarray:
         """(N, H, W, 3) tiles -> (C,) slide class probabilities."""
-        logits = self.predict_slide_logits(tiles)
+        logits = self.predict_slide_logits(tiles, coords)
         e = np.exp(logits - logits.max(axis=-1, keepdims=True))
         return e / e.sum(axis=-1, keepdims=True)
 
     def predict_slide_logits_with_attention(
-        self, tiles: np.ndarray
+        self, tiles: np.ndarray, coords: Optional[np.ndarray] = None
     ) -> tuple[np.ndarray, np.ndarray]:
         """(N, H, W, 3) tiles -> ((C,) logits, (N,) per-tile attention scores)."""
         if not self.meta.get("attention"):
@@ -583,21 +615,22 @@ class ServingBundle:
 
         n = int(np.shape(tiles)[0])
         target = self._pad_target(n)
+        cargs = self._slide_coord_args(coords, n, target)
         feats = self.embed_tiles(tiles)
         if target != n:
             feats = jnp.pad(feats, ((0, target - n), (0, 0)))
         logits, scores = self._call_for(f"attn_{target}")(
-            self._dev_head_vars(), feats[None]
+            self._dev_head_vars(), feats[None], *cargs
         )
         return np.asarray(logits)[0], np.asarray(scores)[0, :n]
 
     def predict_slide_with_attention(
-        self, tiles: np.ndarray
+        self, tiles: np.ndarray, coords: Optional[np.ndarray] = None
     ) -> tuple[np.ndarray, np.ndarray]:
         """(N, H, W, 3) tiles -> ((C,) probs, (N,) per-tile attention scores)
         — the served equivalent of
         ``SlideInferencePipeline.predict_slide_with_attention`` (heatmap /
         top-k tile selection from the artifact alone)."""
-        logits, scores = self.predict_slide_logits_with_attention(tiles)
+        logits, scores = self.predict_slide_logits_with_attention(tiles, coords)
         e = np.exp(logits - logits.max())
         return e / e.sum(), scores

@@ -380,10 +380,10 @@ class Trainer:
                 return None
             if b.padded_coords is not None:
                 return jnp.asarray(b.padded_coords)
-            from transmil_deepgraft_tpu.models.roformer_mil import default_grid_coords
+            from transmil_deepgraft_tpu.data.coords import grid_coords
 
             # same square-grid fallback the model itself would use
-            return default_grid_coords(b.bags.shape[1], b.bags.shape[0])
+            return jnp.asarray(grid_coords(b.bags.shape[1], b.bags.shape[0]))
 
         if with_labels:
             stage = lambda b: (b, jnp.asarray(b.bags), jnp.asarray(b.labels), _coords(b))
