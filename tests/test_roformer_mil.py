@@ -458,3 +458,34 @@ def test_infer_cli_roformer_head(tmp_path):
     assert len(results) == 1
     assert abs(sum(results[0]["probs"]) - 1.0) < 1e-4
     assert (tmp_path / "out" / "slideA_topk_tiles.csv").exists()
+
+
+def test_mesh_training_matches_single_device(tmp_path):
+    """Coord-aware training on a dp=4 x sp=2 mesh (coords batch-sharded over
+    dp) matches single-device exactly — same guarantee the flagship heads
+    carry (tests/test_trainer_mesh.py)."""
+    from transmil_deepgraft_tpu.data.datamodule import MILDataModule
+    from transmil_deepgraft_tpu.parallel.mesh import make_mesh
+    from transmil_deepgraft_tpu.train.losses import create_loss
+    from transmil_deepgraft_tpu.train.optimizers import create_optimizer
+    from transmil_deepgraft_tpu.train.trainer import Trainer, TrainerConfig
+
+    def build(log_dir, mesh):
+        dm = MILDataModule(
+            n_classes=2, max_bag_size=32, batch_size=4,
+            synthetic={"n_train": 8, "n_val": 8, "n_test": 8, "bag_size": 32,
+                       "feature_size": 32, "signal": 2.0},
+            seed=0,
+        )
+        model = RoFormerMIL(n_classes=2, in_features=32, out_features=32, depth=1,
+                            heads=2, dim_head=16, mlp_dim=32)
+        tx = create_optimizer(opt="adam", lr=1e-3, weight_decay=0.0)
+        cfg = TrainerConfig(epochs=1, log_dir=str(log_dir), task="norm_rest")
+        return Trainer(model, tx, dm, n_classes=2, loss_fn=create_loss(), config=cfg,
+                       mesh=mesh, model_name="RoFormerMIL")
+
+    mesh = make_mesh(jax.devices(), dp=4, sp=2)
+    h_mesh = build(tmp_path / "mesh", mesh).fit()
+    h_single = build(tmp_path / "single", None).fit()
+    assert abs(h_mesh["loss"] - h_single["loss"]) < 1e-4, (h_mesh["loss"], h_single["loss"])
+    assert abs(h_mesh["val_auc"] - h_single["val_auc"]) < 1e-6
