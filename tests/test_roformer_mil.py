@@ -489,3 +489,72 @@ def test_mesh_training_matches_single_device(tmp_path):
     h_single = build(tmp_path / "single", None).fit()
     assert abs(h_mesh["loss"] - h_single["loss"]) < 1e-4, (h_mesh["loss"], h_single["loss"])
     assert abs(h_mesh["val_auc"] - h_single["val_auc"]) < 1e-6
+
+
+# ------------------------------------------------------------ rotary Nystrom
+def test_nystrom_mode_properties():
+    """num_landmarks>0: O(n*m) rotary Nystrom attention keeps the rotary
+    invariants — rotations commute with the landmark segment-means, so
+    permute-with-coords and translation invariance hold like the exact mode —
+    and return_attn yields a usable tile-score row."""
+    x, coords = _data()
+    model = _model(num_landmarks=8, dropout=0.0, emb_dropout=0.0)
+    v = model.init({"params": jax.random.key(0)}, x, coords)
+    base = model.apply(v, x, coords)
+    assert base.shape == (1, 3) and np.isfinite(np.asarray(base)).all()
+
+    # translation invariance survives the Nystrom approximation exactly
+    shifted = model.apply(v, x, coords + jnp.asarray([31.0, -7.0]))
+    np.testing.assert_allclose(np.asarray(shifted), np.asarray(base), atol=2e-4)
+
+    logits, attn = model.apply(v, x, coords, return_attn=True)
+    scores = attn.tile_scores()
+    assert scores.shape == (1, 4, N) and np.isfinite(np.asarray(scores)).all()
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(base), atol=1e-5)
+
+
+def test_nystrom_mode_learns_position_signal():
+    """The O(n*m) mode still learns the position-dependent task the exact
+    mode learns (test_learns_position_dependent_signal), proving positional
+    information flows through the landmark approximation."""
+    import optax
+
+    rng = np.random.default_rng(0)
+    n, n_slides = 32, 24
+    xs, cs, ys = [], [], []
+    for i in range(n_slides):
+        label = i % 2
+        feats = rng.standard_normal((n, D)).astype(np.float32)
+        witness = rng.random(n) < 0.4
+        feats[witness, ::2] += 1.5
+        coords = np.stack([rng.integers(0, 8, n), rng.integers(0, 16, n)], -1).astype(np.float32)
+        coords[witness, 0] = rng.integers(0, 8, witness.sum()) + (8.0 if label else 0.0)
+        coords[~witness, 0] = rng.integers(0, 16, (~witness).sum())
+        xs.append(feats); cs.append(coords); ys.append(label)
+    x = jnp.asarray(np.stack(xs)); c = jnp.asarray(np.stack(cs))
+    y = jax.nn.one_hot(jnp.asarray(ys), 2)
+
+    model = RoFormerMIL(n_classes=2, in_features=D, out_features=32, depth=2,
+                        heads=2, dim_head=16, mlp_dim=32, dropout=0.0,
+                        emb_dropout=0.0, num_landmarks=8)
+    v = model.init({"params": jax.random.key(0)}, x[:1], c[:1])
+    tx = optax.adam(3e-4)
+    state = tx.init(v["params"])
+
+    @jax.jit
+    def step(p, s):
+        def loss(p):
+            return optax.softmax_cross_entropy(model.apply({"params": p}, x, c), y).mean()
+
+        l, g = jax.value_and_grad(loss)(p)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    p = v["params"]
+    first = None
+    for _ in range(150):
+        p, state, l = step(p, state)
+        first = first if first is not None else float(l)
+    acc = (jnp.argmax(model.apply({"params": p}, x, c), -1) == jnp.asarray(ys)).mean()
+    assert float(l) < first * 0.5, (first, float(l))
+    assert float(acc) >= 0.85, float(acc)

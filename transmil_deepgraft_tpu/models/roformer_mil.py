@@ -76,14 +76,28 @@ def default_grid_coords(n_tokens: int, batch: int) -> jax.Array:
 
 
 class RotaryAttention(nn.Module):
-    """Multi-head softmax self-attention with axial 2-D rotary q/k (the
-    ``SoftmaxAttention`` math from ``layers.py`` + RoPE prologue)."""
+    """Multi-head self-attention with axial 2-D rotary q/k.
+
+    ``num_landmarks=0`` (default) runs exact softmax attention (the
+    ``SoftmaxAttention`` math from ``layers.py`` + RoPE prologue) — O(n²),
+    right for the reference's bag≈1000 operating point. ``num_landmarks>0``
+    runs **rotary Nyström** attention (``ops/nystrom``, O(n·m)): rotations
+    commute with the landmark segment-means — every kernel term is
+    ``q·R(θ_j−θ_i)k`` so relative-position semantics survive the
+    approximation exactly — which scales position-aware MIL to full
+    40k-tile slides the same way TransMIL does.
+
+    ``return_attn_row=True`` additionally returns ``(row, pad)``: the
+    cls-query attention row over all (front-padded) keys and the front-pad
+    amount (0 in softmax mode)."""
 
     dim: int = 512
     heads: int = 8
     dim_head: int = 64
     dropout: float = 0.1
     rope_base: float = 10000.0
+    num_landmarks: int = 0
+    pinv_iterations: int = 6
 
     @nn.compact
     def __call__(
@@ -96,6 +110,37 @@ class RotaryAttention(nn.Module):
     ):
         b, n, _ = x.shape
         inner = self.heads * self.dim_head
+
+        if self.num_landmarks:
+            from transmil_deepgraft_tpu.ops.nystrom import (
+                nystrom_attention,
+                pad_to_landmark_multiple,
+            )
+
+            # front-pad to a landmark multiple (TransMIL convention); pad rows
+            # project to zero q/k/v so their rotary angle is irrelevant
+            x_p, pad = pad_to_landmark_multiple(x, self.num_landmarks)
+            coords_p = jnp.pad(coords, ((0, 0), (pad, 0), (0, 0)))
+            np_ = x_p.shape[1]
+            qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x_p)
+            qkv = qkv.reshape(b, np_, 3, self.heads, self.dim_head)
+            q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))
+            q = apply_axial_rotary(q, coords_p, self.rope_base)
+            k = apply_axial_rotary(k, coords_p, self.rope_base)
+            result = nystrom_attention(  # scales q by d**-0.5 internally
+                q, k, v,
+                num_landmarks=self.num_landmarks,
+                pinv_iterations=self.pinv_iterations,
+                return_row_index=pad if return_attn_row else None,
+            )
+            out = jnp.moveaxis(result.out, 1, 2)[:, pad:]  # strip front pad
+            out = out.reshape(b, n, inner).astype(x.dtype)
+            out = nn.Dense(self.dim, name="to_out")(out)
+            out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+            if return_attn_row:
+                return out, (result.cls_row, pad)
+            return out
+
         qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
         q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))
@@ -109,7 +154,7 @@ class RotaryAttention(nn.Module):
         out = nn.Dense(self.dim, name="to_out")(out)
         out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
         if return_attn_row:
-            return out, attn[:, :, 0, :]  # cls-query row over all keys
+            return out, (attn[:, :, 0, :], 0)  # cls-query row over all keys
         return out
 
 
@@ -134,6 +179,11 @@ class RoFormerMIL(nn.Module):
     dropout: float = 0.1
     emb_dropout: float = 0.5
     rope_base: float = 10000.0
+    # 0 = exact softmax attention, O(n^2) — the bag<=~4k operating point.
+    # >0 = rotary Nystrom attention, O(n*m) — position-aware MIL at full
+    # 40k-tile slide scale (rotations commute with the landmark means, see
+    # RotaryAttention). 256 matches TransMIL's landmark count.
+    num_landmarks: int = 0
 
     @nn.compact
     def __call__(
@@ -184,16 +234,17 @@ class RoFormerMIL(nn.Module):
         coords = jnp.concatenate([jnp.zeros((b, 1, 2), jnp.float32), coords + 1.0], axis=1)
         h = nn.Dropout(rate=self.emb_dropout)(h, deterministic=deterministic)
 
-        attn_row = None
+        attn_row, attn_pad = None, 0
         for i in range(self.depth):
             attn_in = nn.LayerNorm(epsilon=1e-5, name=f"attn_norm_{i}")(h)
             want_row = return_attn and i == self.depth - 1
             attn_out = RotaryAttention(
                 dim=self.out_features, heads=self.heads, dim_head=self.dim_head,
-                dropout=self.dropout, rope_base=self.rope_base, name=f"attn_{i}",
+                dropout=self.dropout, rope_base=self.rope_base,
+                num_landmarks=self.num_landmarks, name=f"attn_{i}",
             )(attn_in, coords, deterministic=deterministic, return_attn_row=want_row)
             if want_row:
-                attn_out, attn_row = attn_out
+                attn_out, (attn_row, attn_pad) = attn_out
             h = h + attn_out
             ff_in = nn.LayerNorm(epsilon=1e-5, name=f"ff_norm_{i}")(h)
             ff = nn.Sequential(
@@ -208,7 +259,8 @@ class RoFormerMIL(nn.Module):
         if return_attn:
             from transmil_deepgraft_tpu.models.transmil import TransMILAttention
 
-            # same payload as TransMIL: cls-query row over [cls, tiles...] keys;
-            # pad=0 makes tile_scores() slice row[..., 1 : 1+n] (the tiles)
-            return logits, TransMILAttention(row=attn_row, pad=0, n_tokens=n)
+            # same payload as TransMIL: cls-query row over the (front-padded)
+            # [pad..., cls, tiles...] keys; tile_scores() slices
+            # row[..., pad+1 : pad+1+n] (the tiles)
+            return logits, TransMILAttention(row=attn_row, pad=attn_pad, n_tokens=n)
         return logits
