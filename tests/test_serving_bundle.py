@@ -347,7 +347,7 @@ def test_slide_bundle_attention(tmp_path):
 @pytest.mark.parametrize("name,dim", [
     ("TransMIL", 64), ("AttMIL", 64), ("TransformerMIL", 64), ("Chowder", 64),
     ("CLAM_SB", 64), ("CLAM_MB", 64), ("DTFD", 64), ("MDMIL", 1024),
-    ("RoFormerMIL", 64),
+    ("RoFormerMIL", 64), ("DSMIL", 64),
 ])
 def test_every_feature_head_exports(tmp_path, name, dim):
     """Registry-wide: every feature-bag head ships as a .tdx and serves

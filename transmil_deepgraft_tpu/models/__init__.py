@@ -15,6 +15,7 @@ from transmil_deepgraft_tpu.models.attmil import AttMIL
 from transmil_deepgraft_tpu.models.chowder import Chowder
 from transmil_deepgraft_tpu.models.clam import CLAM_MB, CLAM_SB
 from transmil_deepgraft_tpu.models.ctmil import CTMIL
+from transmil_deepgraft_tpu.models.dsmil import DSMIL
 from transmil_deepgraft_tpu.models.dtfd import DTFDMIL
 from transmil_deepgraft_tpu.models.mdmil import MDMIL
 from transmil_deepgraft_tpu.models.monai_mil import MonaiMIL
@@ -37,6 +38,7 @@ MODEL_REGISTRY: dict[str, Callable[..., nn.Module]] = {
     "MonaiMILModel": MonaiMIL,
     "AttTrans": MonaiMIL,
     "RoFormerMIL": RoFormerMIL,  # beyond-reference: 2-D rotary position-aware MIL
+    "DSMIL": DSMIL,  # beyond-reference: dual-stream MIL (arXiv:2011.08939)
     "resnet50": SpatialResNetMIL,
 }
 
@@ -81,6 +83,7 @@ __all__ = [
     "CLAM_MB",
     "CLAM_SB",
     "CTMIL",
+    "DSMIL",
     "DTFDMIL",
     "MDMIL",
     "MODEL_REGISTRY",
