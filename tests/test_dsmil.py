@@ -10,6 +10,7 @@ synthetic task (the convergence bar every other head family meets).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from transmil_deepgraft_tpu.data.datamodule import MILDataModule
 from transmil_deepgraft_tpu.models import create_model
@@ -76,6 +77,45 @@ def test_instance_stream_is_max_pooling():
     ins2 = x2[0] @ np.asarray(p["kernel"]) + np.asarray(p["bias"])
     assert ins2[:, 1].max() != ins[:, 1].max()
     assert not np.allclose(out, base)
+
+
+def test_torch_cross_implementation_parity():
+    """Independent torch twin of the published DSMIL math (Li et al. 2021,
+    arXiv:2011.08939: nonlinear-query + passing-v variant, the configuration
+    the official evaluation uses). Weights copied from the flax params; eval
+    logits must agree — the same cross-impl bar the reference-zoo heads meet
+    via tests/torch_ref."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    n_classes, in_features, q_dim = 3, 24, 16
+    model = DSMIL(n_classes=n_classes, in_features=in_features, q_dim=q_dim)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 50, in_features)).astype(np.float32)
+    v = _init(model, jnp.asarray(x))
+    p = jax.tree.map(np.asarray, v["params"])
+
+    def lin(name, t):  # flax kernel (in, out) -> torch-style y = t @ W + b
+        return torch.as_tensor(t) @ torch.as_tensor(p[name]["kernel"]) + torch.as_tensor(p[name]["bias"])
+
+    with torch.no_grad():
+        h = torch.as_tensor(x[0])  # (N, D)
+        ins = lin("i_classifier", h)  # (N, C)
+        val = F.relu(lin("v", h))  # (N, V)
+
+        def query(t):
+            return torch.tanh(lin("q1", F.relu(lin("q0", t))))
+
+        crit = ins.argmax(dim=0)  # (C,) critical instance per class
+        m_feats = h[crit]  # (C, D)
+        attn = query(h) @ query(m_feats).t() / np.sqrt(q_dim)  # (N, C)
+        attn = torch.softmax(attn, dim=0)
+        bag = attn.t() @ val  # (C, V)
+        bag_logits = lin("fcc", bag.reshape(1, n_classes * in_features))[0]
+        torch_logits = 0.5 * (bag_logits + ins.max(dim=0).values)
+
+    flax_logits = np.asarray(model.apply(v, jnp.asarray(x)))[0]
+    np.testing.assert_allclose(flax_logits, torch_logits.numpy(), rtol=1e-4, atol=1e-5)
 
 
 def test_dsmil_learns_synthetic_signal(tmp_path):
