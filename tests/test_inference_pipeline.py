@@ -50,6 +50,26 @@ def test_pipeline_int8_vs_bf16(resnet_vars, rng):
     )
 
 
+@pytest.mark.parametrize("head_name", ["DSMIL", "AttMIL"])
+def test_pipeline_attention_non_transmil_heads(resnet_vars, rng, head_name):
+    """Heads whose return_attn yields plain weight arrays (no tile_scores()
+    payload) serve attention through the pipeline too — the layout is
+    normalized to (n,) exactly like serving._attn_forward."""
+    from transmil_deepgraft_tpu.models import create_model
+
+    _, variables = resnet_vars
+    tiles = rng.standard_normal((6, 64, 64, 3)).astype(np.float32)
+    head = create_model(head_name, n_classes=2, in_features=2048)
+    hv = head.init({"params": jax.random.key(1)}, jnp.zeros((1, 6, 2048)))
+
+    p = SlideInferencePipeline(variables, head, hv, calib_tiles=None, chunk=4)
+    probs, scores = p.predict_slide_with_attention(tiles)
+    assert probs.shape == (2,) and scores.shape == (6,)
+    assert np.isfinite(scores).all()
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
+    np.testing.assert_allclose(probs, p.predict_slide(tiles), atol=1e-5)
+
+
 def test_pipeline_fused_backbone_matches_int8(resnet_vars, rng):
     """fused_backbone=True routes through the Pallas stage kernels (interpret
     mode off-TPU) and is bit-exact vs the XLA int8 path."""

@@ -231,5 +231,10 @@ class SlideInferencePipeline:
         cargs = self._coord_args(coords, len(tiles))
         logits, attn = self._head_attn(self.hv, feats[None], *cargs)
         probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
-        scores = np.asarray(attn.tile_scores().mean(axis=1))[0]
+        # normalize the head's attention layout to (n,): TransMIL-family heads
+        # return a payload with tile_scores() (B, heads, n); gated/dual-stream
+        # heads (AttMIL, DSMIL) return the (B, n) / (B, K, n) weights directly
+        # — same contract as serving._attn_forward
+        raw = attn.tile_scores() if hasattr(attn, "tile_scores") else jnp.asarray(attn)
+        scores = np.asarray(raw.reshape(1, -1, len(tiles)).mean(axis=1))[0]
         return probs, scores
