@@ -151,6 +151,7 @@ class TransLayer(nn.Module):
 
     dim: int = 512
     dtype: Any = jnp.float32
+    use_pallas: Optional[bool] = None  # forwarded to NystromAttentionLayer
 
     @nn.compact
     def __call__(
@@ -167,6 +168,7 @@ class TransLayer(nn.Module):
             dim_head=self.dim // 8,
             num_landmarks=self.dim // 2,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="attn",
         )(normed, deterministic=deterministic, return_row_index=return_row_index)
         return x + out.astype(x.dtype), attn_row, pad

@@ -57,6 +57,10 @@ class TransMIL(nn.Module):
     # BENCHMARKS.md). Applies when deterministic and not returning attention;
     # training and return_attn run the standard path (same params).
     fused_inference: bool = True
+    # Op-level Pallas attention (flash landmark kernels + analytic VJP,
+    # ops/pallas/nystrom_kernel) on the standard path — affects TRAINING too
+    # (the fused layers above are inference-only). None/False = XLA op.
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -111,7 +115,8 @@ class TransMIL(nn.Module):
                     heads=8, dim_head=self.out_features // 8, num_landmarks=m,
                 )
                 return y[:, padn:].astype(hh.dtype), None
-            out, attn_row, _ = TransLayer(dim=self.out_features, dtype=self.dtype, name=name)(
+            out, attn_row, _ = TransLayer(dim=self.out_features, dtype=self.dtype,
+                                          use_pallas=self.use_pallas, name=name)(
                 hh, deterministic=deterministic, return_row_index=row_index
             )
             return out, attn_row
