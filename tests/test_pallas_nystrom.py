@@ -185,3 +185,28 @@ def test_packed_layer_path_matches_xla_layer(rng):
     ox = np.asarray(layer_x.apply(v, x)[0])
     op = np.asarray(layer_p.apply(v, x)[0])  # interpret mode via fixture
     np.testing.assert_allclose(op, ox, rtol=5e-4, atol=5e-4)
+
+
+def test_transmil_use_pallas_model_flag(rng):
+    """Model-level plumbing: TransMIL(use_pallas=True) routes its TransLayers
+    through the packed Pallas kernels (training path) with the SAME params and
+    matching logits + differentiable loss (analytic VJP)."""
+    from transmil_deepgraft_tpu.models.transmil import TransMIL
+
+    x = jnp.asarray(rng.standard_normal((1, 90, 128)).astype(np.float32))
+    mk = dict(n_classes=3, in_features=128, out_features=64, fused_inference=False)
+    m_x = TransMIL(**mk)
+    m_p = TransMIL(**mk, use_pallas=True)
+    v = m_x.init({"params": jax.random.key(0)}, x)
+    lx = np.asarray(m_x.apply(v, x))
+    lp = np.asarray(m_p.apply(v, x))  # interpret mode via fixture
+    np.testing.assert_allclose(lp, lx, rtol=5e-4, atol=5e-4)
+
+    def loss(params, model):
+        return jnp.sum(model.apply({"params": params}, x) ** 2)
+
+    gx = jax.grad(loss)(v["params"], m_x)
+    gp = jax.grad(loss)(v["params"], m_p)
+    fx = np.concatenate([np.ravel(l) for l in jax.tree.leaves(gx)])
+    fp = np.concatenate([np.ravel(l) for l in jax.tree.leaves(gp)])
+    np.testing.assert_allclose(fp, fx, rtol=5e-3, atol=5e-3)
