@@ -83,3 +83,35 @@ def test_fast_dev_run_per_model(name, path, tmp_path):
     trainer.fit()
     summary = trainer.test()
     assert "test_auc" in summary
+
+
+def test_model_extras_forwarded_from_yaml(tmp_path):
+    """Optional Model-section knobs reach the model constructor when the head
+    declares them (and are ignored otherwise): cli.train._model_extras."""
+    from transmil_deepgraft_tpu.cli.train import _model_extras, build
+
+    cfg = read_yaml(ALL_CONFIGS[0])
+    cfg.Model.name = "TransMIL"
+    cfg.Model.use_pallas = True
+    cfg.Model.fused_inference = False
+    cfg.Model.num_landmarks = 16  # TransMIL does NOT declare this -> dropped
+    assert _model_extras(cfg, "TransMIL") == {
+        "use_pallas": True, "fused_inference": False,
+    }
+    assert _model_extras(cfg, "RoFormerMIL") == {"num_landmarks": 16}
+    assert _model_extras(cfg, "not_a_model") == {}
+
+    cfg = finalize_config(cfg, config_path=str(ALL_CONFIGS[0]), stage="train",
+                          fast_dev_run=True)
+    cfg.Model.n_classes = 2
+    cfg.Model.in_features = 64
+    cfg.Model.out_features = 32
+    cfg.Model.backbone = "features"
+    cfg.Data.data_dir = None
+    cfg.Data.cross_val = False
+    cfg.Data.variant = "features"
+    cfg.Data.synthetic = {"n_train": 4, "n_val": 2, "n_test": 2,
+                          "bag_size": 32, "feature_size": 64}
+    trainer = build(cfg, log_dir=str(tmp_path))
+    assert trainer.model.use_pallas is True
+    assert trainer.model.fused_inference is False

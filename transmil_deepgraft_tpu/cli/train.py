@@ -54,11 +54,30 @@ def make_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _model_extras(cfg, model_name: str) -> dict:
+    """Optional ``cfg.Model`` knobs forwarded to the model constructor when
+    the head declares them (e.g. TransMIL ``use_pallas``/``fused_inference``,
+    RoFormerMIL ``num_landmarks``/``depth``/``pool``). Keys the model does not
+    declare are ignored, so one YAML schema serves every head."""
+    import dataclasses
+
+    from transmil_deepgraft_tpu.models import MODEL_REGISTRY
+
+    cls = MODEL_REGISTRY.get(model_name)
+    if cls is None or not dataclasses.is_dataclass(cls):
+        return {}
+    fields = {f.name for f in dataclasses.fields(cls)}
+    knobs = ("use_pallas", "fused_inference", "num_landmarks", "depth",
+             "heads", "dim_head", "mlp_dim", "pool", "dropout", "rope_base")
+    return {k: cfg.Model[k] for k in knobs if k in fields and k in cfg.Model}
+
+
 def build(cfg, log_dir: str | None = None):
     n_classes = int(cfg.Model.n_classes)
     in_features = int(cfg.Model.in_features or 2048)
     out_features = int(cfg.Model.out_features or 512)
     model_name = str(cfg.Model.name)
+    model_extras = _model_extras(cfg, model_name)
 
     synthetic = cfg.Data.synthetic.to_dict() if cfg.Data.synthetic else None
     if synthetic is not None:
@@ -111,6 +130,7 @@ def build(cfg, log_dir: str | None = None):
     model = create_model(
         model_name, n_classes=n_classes, in_features=in_features,
         out_features=out_features, precision=cfg.General.precision or None,
+        **model_extras,
     )
     backbone_name = str(cfg.Model.backbone or "features")
     if dm.variant == "images" and backbone_name != "features":
@@ -124,6 +144,7 @@ def build(cfg, log_dir: str | None = None):
             model = create_model(
                 model_name, n_classes=n_classes, in_features=feat_dim,
                 out_features=out_features, precision=cfg.General.precision or None,
+                **model_extras,
             )
         model = ImageMILModel(backbone=backbone, head=model)
     elif dm.variant == "tiles":
