@@ -34,6 +34,8 @@ HEAD_ITERS = 8
 
 
 def _chained_time(fn, *args, iters, reps=4):
+    """Return per-iteration wall times, one per rep (RTT-corrected), sorted."""
+
     @jax.jit
     def chained(*a):
         def body(carry, _):
@@ -51,7 +53,8 @@ def _chained_time(fn, *args, iters, reps=4):
         t0 = time.perf_counter()
         np.asarray(chained(*args))
         totals.append(time.perf_counter() - t0)
-    return (min(totals) - min(rtts)) / iters
+    rtt = min(rtts)
+    return sorted((t - rtt) / iters for t in totals)
 
 
 def main() -> None:
@@ -76,8 +79,7 @@ def main() -> None:
         xi = jnp.where(carry < 1e30, x, x + 1.0)  # unfoldable data dependency
         return apply_qresnet50(qq, xi).mean()
 
-    per_chunk = _chained_time(embed_chunk, q, tiles, iters=10)
-    embed_s = per_chunk * (BAG / CHUNK)
+    embed_reps = [t * (BAG / CHUNK) for t in _chained_time(embed_chunk, q, tiles, iters=10)]
 
     # --- head stage: TransMIL forward on the full 40,960-feature bag -------
     head = create_model("TransMIL", n_classes=2, in_features=2048)
@@ -88,18 +90,25 @@ def main() -> None:
         xi = x + carry * 1e-9
         return head.apply({"params": p}, xi)[0, 0]
 
-    head_s = _chained_time(head_fwd, params, bags, iters=HEAD_ITERS)
+    head_reps = _chained_time(head_fwd, params, bags, iters=HEAD_ITERS)
 
-    total_s = embed_s + head_s
-    slides_per_sec = 1.0 / total_s
+    # Per-rep slides/s: pair rep i of each stage (both sorted fastest-first), so
+    # min/median/max of the combined list bracket the run-to-run spread.
+    rates = sorted(1.0 / (e + h) for e, h in zip(embed_reps, head_reps))
+    median = rates[len(rates) // 2]
     print(
         json.dumps(
             {
                 "metric": "resnet50_transmil_e2e_40k_patch_slides_per_sec",
-                "value": round(slides_per_sec, 3),
+                "value": round(median, 3),
                 "unit": "slides/s/chip",
                 # baseline: the <1 s/slide end-to-end north star (BASELINE.md)
-                "vs_baseline": round(slides_per_sec / 1.0, 3),
+                "vs_baseline": round(median / 1.0, 3),
+                # run-to-run spread over reps (VERDICT r3 "Weak #7"): a future
+                # regression inside the spread is detectable from these fields
+                "min": round(rates[0], 3),
+                "max": round(rates[-1], 3),
+                "reps": len(rates),
             }
         )
     )

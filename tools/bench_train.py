@@ -29,7 +29,7 @@ sys.path.insert(0, str(REPO))
 
 def time_train_step(model_name: str, bag: int, batch: int, in_features: int,
                     n_classes: int, opt: str, iters: int, reps: int = 3,
-                    model_kwargs: dict | None = None) -> float:
+                    model_kwargs: dict | None = None) -> tuple[float, float, float]:
     import jax
     import jax.numpy as jnp
     import optax
