@@ -80,42 +80,65 @@ def test_instance_stream_is_max_pooling():
 
 
 def test_torch_cross_implementation_parity():
-    """Independent torch twin of the published DSMIL math (Li et al. 2021,
-    arXiv:2011.08939: nonlinear-query + passing-v variant, the configuration
-    the official evaluation uses). Weights copied from the flax params; eval
-    logits must agree — the same cross-impl bar the reference-zoo heads meet
-    via tests/torch_ref."""
+    """Parity vs the OFFICIAL DSMIL module layout (tests/torch_ref/dsmil_torch:
+    IClassifier/BClassifier/MILNet, nonlinear=True + passing_v=True — the
+    configuration the official WSI evaluation uses). The flax params are
+    loaded into the torch module via the state-dict mapping (incl. the
+    Conv1d(C, C, V) bag head), and the fused eval prediction
+    ``0.5 * (bag + max-instance)`` must agree — the same cross-impl bar the
+    reference-zoo heads meet via tests/torch_ref."""
     torch = pytest.importorskip("torch")
-    import torch.nn.functional as F
+    from tests.torch_ref.dsmil_torch import build_official_dsmil, load_flax_dsmil_params
 
     n_classes, in_features, q_dim = 3, 24, 16
     model = DSMIL(n_classes=n_classes, in_features=in_features, q_dim=q_dim)
     rng = np.random.default_rng(7)
     x = rng.standard_normal((1, 50, in_features)).astype(np.float32)
     v = _init(model, jnp.asarray(x))
-    p = jax.tree.map(np.asarray, v["params"])
 
-    def lin(name, t):  # flax kernel (in, out) -> torch-style y = t @ W + b
-        return torch.as_tensor(t) @ torch.as_tensor(p[name]["kernel"]) + torch.as_tensor(p[name]["bias"])
-
+    net = build_official_dsmil(in_features, n_classes, q_dim=q_dim)
+    load_flax_dsmil_params(net, jax.tree.map(np.asarray, v["params"]))
+    net.eval()
     with torch.no_grad():
-        h = torch.as_tensor(x[0])  # (N, D)
-        ins = lin("i_classifier", h)  # (N, C)
-        val = F.relu(lin("v", h))  # (N, V)
-
-        def query(t):
-            return torch.tanh(lin("q1", F.relu(lin("q0", t))))
-
-        crit = ins.argmax(dim=0)  # (C,) critical instance per class
-        m_feats = h[crit]  # (C, D)
-        attn = query(h) @ query(m_feats).t() / np.sqrt(q_dim)  # (N, C)
-        attn = torch.softmax(attn, dim=0)
-        bag = attn.t() @ val  # (C, V)
-        bag_logits = lin("fcc", bag.reshape(1, n_classes * in_features))[0]
-        torch_logits = 0.5 * (bag_logits + ins.max(dim=0).values)
+        ins_logits, bag_logits, attn, _ = net(torch.as_tensor(x[0]))
+        torch_logits = 0.5 * (bag_logits[0] + ins_logits.max(dim=0).values)
 
     flax_logits = np.asarray(model.apply(v, jnp.asarray(x)))[0]
     np.testing.assert_allclose(flax_logits, torch_logits.numpy(), rtol=1e-4, atol=1e-5)
+
+    # attention contract too: flax return_attn equals the official A column
+    # for the predicted class
+    logits, scores = model.apply(v, jnp.asarray(x), return_attn=True)
+    pred = int(np.asarray(logits).argmax())
+    np.testing.assert_allclose(
+        np.asarray(scores)[0], attn[:, pred].numpy(), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_pad_masking_matches_exact_bag():
+    """With ``lengths``, a zero-padded bag must produce the same logits and
+    attention as the unpadded bag (pad rows can't win the instance-stream
+    max/argmax and get no attention mass) — the ADVICE r3 pad-sensitivity fix."""
+    model = DSMIL(n_classes=3, in_features=20, q_dim=12)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((1, 17, 20)).astype(np.float32)
+    v = _init(model, jnp.asarray(x))
+    exact = np.asarray(model.apply(v, jnp.asarray(x)))
+
+    pad = np.zeros((1, 32, 20), np.float32)
+    pad[:, :17] = x
+    lengths = jnp.asarray([17], jnp.int32)
+    masked = np.asarray(model.apply(v, jnp.asarray(pad), lengths=lengths))
+    np.testing.assert_allclose(masked, exact, rtol=1e-5, atol=1e-6)
+
+    logits, scores = model.apply(v, jnp.asarray(pad), lengths=lengths, return_attn=True)
+    s = np.asarray(scores)[0]
+    assert s[17:].max() < 1e-6  # pad rows hold no attention mass
+    np.testing.assert_allclose(s.sum(), 1.0, atol=1e-5)
+
+    # without lengths the padded bag CAN differ (documents why the flag exists)
+    unmasked = np.asarray(model.apply(v, jnp.asarray(pad)))
+    assert unmasked.shape == exact.shape
 
 
 def test_dsmil_learns_synthetic_signal(tmp_path):

@@ -22,6 +22,13 @@ and jit/export-safe.
 
 ``return_attn`` yields the attention column of the *predicted* class
 (``(B, N)``), the row heatmap tooling consumes.
+
+Padding: max-pooling is more pad-sensitive than the zoo's attention-only
+heads — with zero-padded bucket bags a pad row's instance logit equals the
+classifier bias, so the per-class argmax could select a padding row. Pass
+``lengths`` ((B,) real bag lengths) to mask instance logits and attention
+beyond the real length; without it, evaluate short bags with
+``eval_pad='exact'`` (the datamodule's exact-shape eval path).
 """
 
 from __future__ import annotations
@@ -38,12 +45,19 @@ class DSMIL(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True, return_attn: bool = False):
+    def __call__(self, x: jax.Array, *, deterministic: bool = True, return_attn: bool = False,
+                 lengths: jax.Array | None = None):
         if x.ndim == 2:
             x = x[None]
         h = x.astype(jnp.float32)  # (B, N, D)
 
         ins_logits = nn.Dense(self.n_classes, name="i_classifier")(h)  # (B, N, C)
+        pad_mask = None  # (B, N, 1) True on real rows
+        if lengths is not None:
+            lengths = jnp.asarray(lengths).reshape(h.shape[0])
+            pad_mask = (jnp.arange(h.shape[1])[None, :] < lengths[:, None])[..., None]
+            # mask the instance stream: pad rows can win neither max nor argmax
+            ins_logits = jnp.where(pad_mask, ins_logits, -1e9)
 
         q0 = nn.Dense(self.q_dim, name="q0")
         q1 = nn.Dense(self.q_dim, name="q1")
@@ -63,6 +77,8 @@ class DSMIL(nn.Module):
         attn = jnp.einsum("bnq,bcq->bnc", q, q_max) / jnp.sqrt(
             jnp.asarray(self.q_dim, jnp.float32)
         )
+        if pad_mask is not None:
+            attn = jnp.where(pad_mask, attn, -1e9)  # pad rows get ~0 attention mass
         attn = jax.nn.softmax(attn, axis=1)  # over instances, per class
 
         bag = jnp.einsum("bnc,bnv->bcv", attn, v)  # (B, C, V)
