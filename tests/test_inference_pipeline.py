@@ -92,6 +92,48 @@ def test_pipeline_fused_backbone_matches_int8(resnet_vars, rng):
         )
 
 
+def test_streaming_paths_match_in_memory(resnet_vars, rng, tmp_path):
+    """The streaming disk->prediction path (predict_slide_paths: chunked
+    decode on a worker thread overlapped with device embed, features never
+    leave the device) produces EXACTLY the probabilities / attention of the
+    in-memory path on the same decoded tiles — the VERDICT r4 item 1 contract."""
+    from PIL import Image
+
+    from transmil_deepgraft_tpu.inference import decode_tile_paths
+
+    _, variables = resnet_vars
+    slide = tmp_path / "slideS"
+    slide.mkdir()
+    paths = []
+    for t in range(10):  # 10 tiles, chunk=4 -> 3 chunks incl. a padded one
+        arr = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+        p = slide / f"tile_({t}-1).jpg"
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(p)
+
+    head = TransMIL(n_classes=2, in_features=2048, out_features=32)
+    hv = head.init({"params": jax.random.key(1)}, jnp.zeros((1, 10, 2048)))
+    pipe = SlideInferencePipeline(variables, head, hv, calib_tiles=None, chunk=4)
+
+    tiles_u8 = decode_tile_paths(paths, size=64)
+    assert tiles_u8.dtype == np.uint8 and tiles_u8.shape == (10, 64, 64, 3)
+
+    probs_stream = pipe.predict_slide_paths(paths, tile_size=64)
+    probs_mem = pipe.predict_slide(tiles_u8)
+    np.testing.assert_array_equal(probs_stream, probs_mem)
+
+    p_s, a_s = pipe.predict_slide_paths_with_attention(paths, tile_size=64)
+    p_m, a_m = pipe.predict_slide_with_attention(tiles_u8)
+    np.testing.assert_array_equal(p_s, p_m)
+    np.testing.assert_array_equal(a_s, a_m)
+
+    # features themselves are bit-identical, streamed vs in-memory
+    np.testing.assert_array_equal(
+        np.asarray(pipe.embed_paths_device(paths, tile_size=64)),
+        np.asarray(pipe.embed_device(tiles_u8)),
+    )
+
+
 def test_extract_cohort_int8(tmp_path, rng):
     from PIL import Image
 

@@ -68,10 +68,7 @@ def _load_variables(path: str, kind: str, n_classes: int, in_features: int,
 
 
 def main(argv: list[str] | None = None) -> list[dict]:
-    from transmil_deepgraft_tpu.data.feature_extractor import (
-        _load_tile,
-        imagenet_normalize,
-    )
+    from transmil_deepgraft_tpu.data.feature_extractor import imagenet_normalize
     from transmil_deepgraft_tpu.data.jpg_bags import parse_coords
     from transmil_deepgraft_tpu.inference import SlideInferencePipeline
     from transmil_deepgraft_tpu.models import create_model
@@ -99,25 +96,21 @@ def main(argv: list[str] | None = None) -> list[dict]:
         tile_paths = sorted(slide_dir.glob("*.jpg")) + sorted(slide_dir.glob("*.png"))
         if not tile_paths:
             continue
-        from transmil_deepgraft_tpu.data import native_tiles as nt
-
-        if nt.available() and all(str(p).lower().endswith((".jpg", ".jpeg")) for p in tile_paths):
-            # raw u8: normalization happens on-device (4x less transfer)
-            tiles, n_ok = nt.load_tiles_u8(tile_paths, args.tile_size)
-            if n_ok != len(tile_paths):
-                tiles = np.stack(
-                    [imagenet_normalize(_load_tile(p, args.tile_size)) for p in tile_paths]
-                )
-        else:
-            tiles = np.stack(
-                [imagenet_normalize(_load_tile(p, args.tile_size)) for p in tile_paths]
-            )
         if pipeline is None:
             # >=64 calibration tiles: coverage halves the worst-case AUC shift
-            # (BENCHMARKS.md int8 AUC guard table)
-            calib = None if args.quantize == "bf16" else tiles[: min(64, len(tiles))]
-            if calib is not None and calib.dtype == np.uint8:
-                calib = imagenet_normalize(calib)
+            # (BENCHMARKS.md int8 AUC guard table). Only the calibration tiles
+            # are decoded up front — the slides themselves STREAM from disk
+            # (predict_slide_paths_with_attention: decode overlapped with
+            # device embed, never a full decoded slide on the host).
+            from transmil_deepgraft_tpu.inference import decode_tile_paths
+
+            calib = None
+            if args.quantize != "bf16":
+                calib = imagenet_normalize(
+                    decode_tile_paths(
+                        tile_paths[: min(64, len(tile_paths))], args.tile_size
+                    )
+                )
             mesh = None
             if args.n_chips > 1:
                 import jax
@@ -140,7 +133,9 @@ def main(argv: list[str] | None = None) -> list[dict]:
         if getattr(head, "coord_aware", False):
             # coord-aware heads get the real (x-y) filename coords
             coords = np.asarray([parse_coords(p.name) for p in tile_paths], np.float32)
-        probs, attn = pipeline.predict_slide_with_attention(tiles, coords)
+        probs, attn = pipeline.predict_slide_paths_with_attention(
+            tile_paths, coords, tile_size=args.tile_size
+        )
         order = np.argsort(attn)[::-1][: args.topk]
         topk_csv = out_dir / f"{slide_dir.name}_topk_tiles.csv"
         with open(topk_csv, "w", newline="") as f:

@@ -21,6 +21,24 @@ import numpy as np
 from transmil_deepgraft_tpu.data.native_tiles import IMAGENET_MEAN, IMAGENET_STD
 
 
+def decode_tile_paths(paths, size: int = 224) -> np.ndarray:
+    """Decode a chunk of tile image paths -> raw (n, size, size, 3) uint8.
+
+    JPEG chunks go through the native threaded loader when available
+    (``data/native_tiles``); anything else (PNGs, decode failures, no
+    libjpeg) falls back to per-tile PIL. Both paths return RAW uint8 —
+    ImageNet normalization happens on device (4x less host->device data)."""
+    from transmil_deepgraft_tpu.data import native_tiles as nt
+
+    if nt.available() and all(str(p).lower().endswith((".jpg", ".jpeg")) for p in paths):
+        batch, n_ok = nt.load_tiles_u8(paths, size)
+        if n_ok == len(paths):
+            return batch
+    from transmil_deepgraft_tpu.data.jpg_bags import _load_tile
+
+    return np.stack([_load_tile(p, size) for p in paths])
+
+
 def chunked_device_embed(
     call: Callable[[np.ndarray], jax.Array], tiles: np.ndarray, chunk: int
 ) -> jax.Array:
@@ -216,6 +234,56 @@ class SlideInferencePipeline:
             lambda b: embed(*self._embed_args, jnp.asarray(b)), tiles, self.chunk
         )
 
+    def embed_paths_device(self, paths, *, tile_size: int = 224) -> jax.Array:
+        """STREAMING disk -> features: decode tile image paths chunk by chunk,
+        with the NEXT chunk decoding on a host thread while the current chunk
+        embeds on device; features concatenate on device (never a full decoded
+        tile array on the host — peak host memory is two uint8 chunks, ~40 MB,
+        vs ~6 GB for a 40k slide decoded up front).
+
+        This is the honest disk->prediction path the reference's chunked
+        streaming inference walks (``visualize_mil.py:560-583`` decodes tile
+        batches through the backbone inside the slide loop); here decode and
+        device embed genuinely overlap because jax dispatch is async and the
+        decode of chunk i+1 runs on a worker thread."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(paths)
+        if n == 0:
+            raise ValueError("empty tile path list")
+        chunks = [paths[i : i + self.chunk] for i in range(0, n, self.chunk)]
+        outs = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(decode_tile_paths, chunks[0], tile_size)
+            for ci in range(len(chunks)):
+                batch = fut.result()
+                if ci + 1 < len(chunks):  # prefetch: decode overlaps device embed
+                    fut = pool.submit(decode_tile_paths, chunks[ci + 1], tile_size)
+                pad = self.chunk - batch.shape[0]
+                if pad:  # one compiled program for every chunk
+                    batch = np.concatenate(
+                        [batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)]
+                    )
+                outs.append(self._embed_u8(*self._embed_args, jnp.asarray(batch)))
+        return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
+
+    def predict_slide_paths(
+        self, paths, coords: Optional[np.ndarray] = None, *, tile_size: int = 224
+    ) -> np.ndarray:
+        """Tile image paths ON DISK -> (C,) slide probabilities, streaming
+        (see ``embed_paths_device``). Numerically identical to decoding the
+        full slide and calling ``predict_slide`` (tested)."""
+        feats = self.embed_paths_device(paths, tile_size=tile_size)
+        cargs = self._coord_args(coords, len(paths))
+        return np.asarray(self._head_fwd(self.hv, feats[None], *cargs))[0]
+
+    def predict_slide_paths_with_attention(
+        self, paths, coords: Optional[np.ndarray] = None, *, tile_size: int = 224
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Streaming variant of ``predict_slide_with_attention``."""
+        feats = self.embed_paths_device(paths, tile_size=tile_size)
+        return self._attention_from_feats(feats, len(paths), coords)
+
     def predict_slide(self, tiles: np.ndarray, coords: Optional[np.ndarray] = None) -> np.ndarray:
         """(N, H, W, 3) tiles -> (C,) slide class probabilities. ``coords``
         ((N, 2) tile grid positions) feed coord-aware heads (RoFormerMIL)."""
@@ -228,7 +296,12 @@ class SlideInferencePipeline:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (probs (C,), per-tile attention scores (N,))."""
         feats = self.embed_device(tiles)
-        cargs = self._coord_args(coords, len(tiles))
+        return self._attention_from_feats(feats, len(tiles), coords)
+
+    def _attention_from_feats(
+        self, feats: jax.Array, n_tiles: int, coords: Optional[np.ndarray]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        cargs = self._coord_args(coords, n_tiles)
         logits, attn = self._head_attn(self.hv, feats[None], *cargs)
         probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
         # normalize the head's attention layout to (n,): TransMIL-family heads
@@ -236,5 +309,11 @@ class SlideInferencePipeline:
         # heads (AttMIL, DSMIL) return the (B, n) / (B, K, n) weights directly
         # — same contract as serving._attn_forward
         raw = attn.tile_scores() if hasattr(attn, "tile_scores") else jnp.asarray(attn)
-        scores = np.asarray(raw.reshape(1, -1, len(tiles)).mean(axis=1))[0]
+        if raw.size % n_tiles != 0:
+            raise ValueError(
+                f"head attention shape {tuple(raw.shape)} is not a multiple of the "
+                f"tile count {n_tiles}; heads must return per-tile scores with a "
+                f"trailing length equal to the (unpadded) tile count"
+            )
+        scores = np.asarray(raw.reshape(1, -1, n_tiles).mean(axis=1))[0]
         return probs, scores
