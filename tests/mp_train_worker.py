@@ -1,0 +1,175 @@
+"""Multi-process distributed training worker (DDP-equivalent evidence).
+
+Run as a SUBPROCESS by ``tests/test_multiprocess_distributed.py`` — one OS
+process per "host", each with 2 virtual CPU devices, joined into one global
+4-device mesh through the production ``parallel.mesh.init_multihost`` path
+(gloo cross-process collectives, the CPU stand-in for a TPU pod's ICI/DCN).
+This is the reference's DDP-across-processes seam (``code/train.py:177-201``)
+exercised for real: process-spanning mesh, per-host ``shard_for_host`` data,
+jitted train steps whose gradient mean psums ACROSS PROCESSES, a replicated
+eval gather, and a checkpoint written from process 0 only.
+
+The module doubles as the single-process oracle: ``run_training(mesh=None)``
+executes the identical math on one device, and the pytest asserts the
+per-step losses / eval logits / checkpointed params agree across worlds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _bootstrap_cpu(n_local_devices: int) -> None:
+    """The conftest dance for a bare subprocess: this environment's
+    sitecustomize eagerly initializes the axon TPU backend in every python
+    process, so flip to CPU and clear before ``jax.distributed`` joins."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_local_devices}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax._src import xla_bridge as _xb
+
+        if _xb.backends_are_initialized():
+            _xb._clear_backends()
+    except Exception:
+        pass
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def make_dataset(n_bags: int = 24, bag: int = 16, feat: int = 24, n_classes: int = 2):
+    """Deterministic separable synthetic bags — identical on every host."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n_bags, bag, feat)).astype(np.float32)
+    y = (np.arange(n_bags) % n_classes).astype(np.int32)
+    x[y == 1, :, :4] += 1.5  # class signal
+    return x, y
+
+
+def run_training(mesh, out_dir: str | None = None, steps: int = 6, batch: int = 4):
+    """Train AttMIL for ``steps`` steps; returns (losses, eval_logits, params).
+
+    ``mesh=None`` -> plain single-device jit (the oracle). With a mesh the
+    batch shards over ``dp`` across every process and params replicate; the
+    gradient mean runs as a GSPMD psum across the process-spanning mesh.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from transmil_deepgraft_tpu.data.pipeline import shard_for_host
+    from transmil_deepgraft_tpu.models import create_model
+    from transmil_deepgraft_tpu.parallel.mesh import batch_sharding, replicated_sharding
+    from transmil_deepgraft_tpu.train.losses import cross_entropy
+    from transmil_deepgraft_tpu.train.optimizers import create_optimizer
+
+    n_classes, feat = 2, 24
+    x, y = make_dataset(n_classes=n_classes, feat=feat)
+    model = create_model("AttMIL", n_classes=n_classes, in_features=feat, out_features=16)
+    params = model.init({"params": jax.random.key(0)}, jnp.asarray(x[:1]))["params"]
+    tx = create_optimizer(opt="adam", lr=1e-3, weight_decay=0.0, params=params)
+    opt_state = tx.init(params)
+
+    def step_fn(params, opt_state, bags, labels):
+        def loss_of(p):
+            logits = model.apply({"params": p}, bags)
+            return cross_entropy(logits, jax.nn.one_hot(labels, n_classes))
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    def eval_fn(params, bags):
+        return model.apply({"params": params}, bags)
+
+    if mesh is None:
+        train_jit = jax.jit(step_fn)
+        eval_jit = jax.jit(eval_fn)
+        put_batch = lambda arr: jnp.asarray(arr)
+    else:
+        data = batch_sharding(mesh)
+        repl = replicated_sharding(mesh)
+        train_jit = jax.jit(
+            step_fn,
+            in_shardings=(repl, repl, data, data),
+            out_shardings=(repl, repl, repl),
+        )
+        eval_jit = jax.jit(eval_fn, in_shardings=(repl, data), out_shardings=repl)
+
+        def put_batch(arr):
+            # per-host feeding: each process contributes ONLY its
+            # shard_for_host range; GSPMD assembles the global batch
+            local = np.ascontiguousarray(shard_for_host(arr))
+            return jax.make_array_from_process_local_data(data, local, arr.shape)
+
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
+    losses = []
+    for s in range(steps):
+        lo = (s * batch) % 16
+        bags, labels = x[lo : lo + batch], y[lo : lo + batch]
+        params, opt_state, loss = train_jit(params, opt_state, put_batch(bags), put_batch(labels))
+        losses.append(float(jax.device_get(loss)))
+
+    eval_logits = np.asarray(jax.device_get(eval_jit(params, put_batch(x[16:24]))))
+    host_params = jax.device_get(params)
+
+    if out_dir is not None and jax.process_index() == 0:
+        # checkpoint-from-process-0 (every process holds replicated params)
+        from transmil_deepgraft_tpu.utils.checkpoints import save_pytree
+
+        save_pytree(Path(out_dir) / "mp_params.msgpack", host_params)
+    return losses, eval_logits, host_params
+
+
+def main() -> None:
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    out_dir = sys.argv[4]
+    _bootstrap_cpu(n_local_devices=2)
+    sys.path.insert(0, str(REPO))
+
+    import jax
+
+    from transmil_deepgraft_tpu.parallel.mesh import init_multihost, make_mesh
+
+    idx, count = init_multihost(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+        cpu_collectives="gloo",
+    )
+    assert (idx, count) == (pid, nproc), (idx, count)
+    assert len(jax.devices()) == 2 * nproc, jax.devices()
+
+    mesh = make_mesh(jax.devices(), dp=2 * nproc, sp=1)
+    losses, eval_logits, _ = run_training(mesh, out_dir=out_dir)
+
+    report = {
+        "process_id": pid,
+        "process_count": count,
+        "global_devices": len(jax.devices()),
+        "local_devices": len(jax.local_devices()),
+        "losses": losses,
+        "eval_logits": eval_logits.tolist(),
+    }
+    Path(out_dir, f"worker{pid}.json").write_text(json.dumps(report))
+    print(f"worker {pid} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,7 @@ def init_multihost(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    cpu_collectives: str | None = None,
 ) -> tuple[int, int]:
     """Join a multi-host TPU job; returns (process_index, process_count).
 
@@ -50,6 +51,13 @@ def init_multihost(
     the input pipeline shards per host via ``data.pipeline.shard_for_host``
     (which reads ``jax.process_index()``). Replaces the reference's
     Lightning/NCCL process-group setup (``code/train.py:177-201``).
+
+    ``cpu_collectives``: cross-process collective implementation for CPU
+    clusters (``'gloo'`` / ``'mpi'``) — the NCCL-role equivalent when the
+    mesh spans CPU processes (tested end-to-end by
+    ``tests/test_multiprocess_distributed.py``); must be set before the
+    backend initializes, so pass it here rather than flipping the jax
+    config afterwards. Ignored on TPU (ICI/DCN collectives are built in).
     """
     explicit = bool(coordinator_address) or (num_processes or 1) > 1
     try:
@@ -72,6 +80,8 @@ def init_multihost(
             )
         return jax.process_index(), jax.process_count()  # single-process dev
     try:
+        if cpu_collectives:
+            jax.config.update("jax_cpu_collectives_implementation", cpu_collectives)
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
