@@ -15,6 +15,7 @@ the param pytree), so it composes transparently with any train-state container.
 
 from __future__ import annotations
 
+import math
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -94,6 +95,38 @@ class AdamPState(NamedTuple):
     count: jax.Array
 
 
+def _adamp_projection(p, grad, perturb, delta: float, wd_ratio: float, eps: float):
+    """The AdamP/SGDP radial projection (Heo 2021, arXiv:2006.08217), with the
+    official algorithm's exact two-stage view logic: try the CHANNEL view
+    (rows = output channels) first, then the LAYER view (whole tensor), each
+    gated on max |cos(grad, p)| < delta / sqrt(view_width); whichever fires
+    first projects the perturbation off p's radial direction and scales weight
+    decay by ``wd_ratio``. jit-safe: both candidate projections are computed
+    and selected with ``where`` (shapes are static)."""
+    expand = (-1,) + (1,) * (p.ndim - 1)
+
+    def for_view(channel: bool):
+        view = (lambda x: x.reshape(x.shape[0], -1)) if channel else (
+            lambda x: x.reshape(1, -1)
+        )
+        gv, pv = view(grad), view(p)
+        cos = jnp.abs(jnp.sum(gv * pv, axis=1)) / (
+            (jnp.linalg.norm(gv, axis=1) + eps) * (jnp.linalg.norm(pv, axis=1) + eps)
+        )
+        fires = jnp.max(cos) < delta / math.sqrt(pv.shape[1])
+        p_n = p / (jnp.linalg.norm(pv, axis=1).reshape(expand if channel else (1,) * p.ndim) + eps)
+        projected = perturb - p_n * view(p_n * perturb).sum(axis=1).reshape(
+            expand if channel else (1,) * p.ndim
+        )
+        return fires, projected
+
+    fires_c, proj_c = for_view(True)
+    fires_l, proj_l = for_view(False)
+    out = jnp.where(fires_c, proj_c, jnp.where(fires_l, proj_l, perturb))
+    ratio = jnp.where(fires_c | fires_l, wd_ratio, 1.0)
+    return out, ratio
+
+
 def adamp(
     lr: float,
     betas: tuple[float, float] = (0.9, 0.999),
@@ -103,30 +136,17 @@ def adamp(
     wd_ratio: float = 0.01,
     nesterov: bool = True,
 ) -> optax.GradientTransformation:
-    """AdamP (Heo 2021): Adam with updates projected off the radial direction for
-    scale-invariant (>1-d) params (ref ``MyOptimizer/adamp.py``)."""
+    """AdamP (Heo 2021): Adam with updates projected off the radial direction
+    for >1-d params, exactly as the reference configures it
+    (``MyOptimizer/optim_factory.py:81``: wd_ratio=0.01, nesterov=True;
+    ``MyOptimizer/adamp.py`` semantics: denom = sqrt(v)/sqrt(bc2) + eps,
+    step = lr/bc1 * perturb, multiplicative weight decay scaled by the
+    projection's wd_ratio). Lockstep-tested vs a torch oracle."""
     b1, b2 = betas
 
     def init(params):
         zeros = lambda: jax.tree.map(jnp.zeros_like, params)
         return AdamPState(mu=zeros(), nu=zeros(), count=jnp.zeros([], jnp.int32))
-
-    def _channel_view(x):
-        return x.reshape(x.shape[0], -1)
-
-    def _project(p, perturb, grad):
-        if p.ndim < 2:
-            return perturb, 1.0
-        pv, gv = _channel_view(p), _channel_view(grad)
-        pn = pv / (jnp.linalg.norm(pv, axis=1, keepdims=True) + eps)
-        cos = jnp.abs(jnp.sum(pn * gv, axis=1)) / (jnp.linalg.norm(gv, axis=1) + eps)
-        cosine_ok = jnp.max(cos) < delta / (p.shape[1] if p.ndim > 1 else 1) ** 0.5
-        pertv = _channel_view(perturb)
-        proj = pertv - pn * jnp.sum(pn * pertv, axis=1, keepdims=True)
-        projected = proj.reshape(p.shape)
-        out = jnp.where(cosine_ok, projected, perturb)
-        ratio = jnp.where(cosine_ok, wd_ratio, 1.0)
-        return out, ratio
 
     def update(grads, state, params):
         count = state.count + 1
@@ -135,38 +155,121 @@ def adamp(
         bc1 = 1 - b1 ** count.astype(jnp.float32)
         bc2 = 1 - b2 ** count.astype(jnp.float32)
 
-        def perturb_fn(m, v, g):
+        def apply_one(p, m, v, g):
             denom = jnp.sqrt(v / bc2) + eps
-            step_size = 1.0 / bc1
-            if nesterov:
-                return (b1 * m + (1 - b1) * g) / denom * step_size
-            return m / denom * step_size
-
-        perturbs = jax.tree.map(perturb_fn, mu, nu, grads)
-
-        def apply_proj(p, pert, g):
-            pert, ratio = _project(p, pert, g)
-            new = -lr * pert
+            perturb = ((b1 * m + (1 - b1) * g) if nesterov else m) / denom
+            ratio = 1.0
+            if p.ndim > 1:
+                perturb, ratio = _adamp_projection(p, g, perturb, delta, wd_ratio, eps)
+            new = -(lr / bc1) * perturb
             if weight_decay:
+                # official: p *= (1 - lr*wd*ratio) BEFORE the step — additively
+                # exact since the perturbation is computed from the undecayed p
                 new = new - lr * weight_decay * ratio * p
             return new
 
-        updates = jax.tree.map(apply_proj, params, perturbs, grads)
+        updates = jax.tree.map(apply_one, params, mu, nu, grads)
         return updates, AdamPState(mu, nu, count)
 
     return optax.GradientTransformation(init, update)
 
 
+class SGDPState(NamedTuple):
+    momentum: Any
+
+
 def sgdp(
-    lr: float, momentum: float = 0.9, weight_decay: float = 0.0, nesterov: bool = True
+    lr: float,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0,
+    nesterov: bool = True,
+    eps: float = 1e-8,
+    delta: float = 0.1,
+    wd_ratio: float = 0.1,
+    dampening: float = 0.0,
 ) -> optax.GradientTransformation:
-    """SGDP: momentum SGD with the same projection idea; approximated here by
-    momentum SGD + decoupled weight decay (projection matters mainly for BN nets,
-    which the MIL heads do not use)."""
-    return optax.chain(
-        optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
-        optax.sgd(lr, momentum=momentum, nesterov=nesterov),
-    )
+    """SGDP (Heo 2021): momentum SGD with the radial projection, the FULL
+    official algorithm (``MyOptimizer/sgdp.py``; was an approximation before
+    round 4): buf = mom*buf + (1-damp)*g; d_p = g + mom*buf (nesterov);
+    projection for >1-d params; weight decay multiplies p by
+    ``1 - lr*wd*wd_ratio/(1-momentum)`` before the step. Lockstep-tested."""
+
+    def init(params):
+        return SGDPState(momentum=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        bufs = jax.tree.map(
+            lambda b, g: momentum * b + (1.0 - dampening) * g, state.momentum, grads
+        )
+
+        def apply_one(p, buf, g):
+            d_p = (g + momentum * buf) if nesterov else buf
+            ratio = 1.0
+            if p.ndim > 1:
+                d_p, ratio = _adamp_projection(p, g, d_p, delta, wd_ratio, eps)
+            new = -lr * d_p
+            if weight_decay:
+                new = new - (lr * weight_decay * ratio / (1.0 - momentum)) * p
+            return new
+
+        updates = jax.tree.map(apply_one, params, bufs, grads)
+        return updates, SGDPState(momentum=bufs)
+
+    return optax.GradientTransformation(init, update)
+
+
+class NadamRefState(NamedTuple):
+    mu: Any
+    nu: Any
+    m_schedule: jax.Array
+    count: jax.Array
+
+
+def nadam_ref(
+    lr: float,
+    betas: tuple[float, float] = (0.9, 0.999),
+    eps: float = 1e-8,
+    schedule_decay: float = 4e-3,
+) -> optax.GradientTransformation:
+    """Nadam with the reference's vendored semantics (``MyOptimizer/nadam.py``,
+    the pytorch/pytorch#1408 implementation of Dozat 2016): warming momentum
+    schedule ``mu_t = b1*(1 - 0.5*0.96^(t*sd))`` with running product
+    ``m_schedule``, grad and momentum terms separately de-biased by
+    ``1-m_schedule`` products. optax.nadam implements the simplified
+    scheduleless variant — this one is what reference configs train with."""
+    b1, b2 = betas
+
+    def init(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+        return NadamRefState(
+            mu=zeros(), nu=zeros(),
+            m_schedule=jnp.ones([], jnp.float32),
+            count=jnp.zeros([], jnp.int32),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        t = (state.count + 1).astype(jnp.float32)
+        mu_t = b1 * (1.0 - 0.5 * 0.96 ** (t * schedule_decay))
+        mu_t1 = b1 * (1.0 - 0.5 * 0.96 ** ((t + 1.0) * schedule_decay))
+        m_schedule_new = state.m_schedule * mu_t
+        m_schedule_next = m_schedule_new * mu_t1
+
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+        bc2 = 1 - b2 ** t
+
+        def upd(g, m, v):
+            denom = jnp.sqrt(v / bc2) + eps
+            return (
+                -lr * (1.0 - mu_t) / (1.0 - m_schedule_new) * g / denom
+                - lr * mu_t1 / (1.0 - m_schedule_next) * m / denom
+            )
+
+        updates = jax.tree.map(upd, grads, mu, nu)
+        return updates, NadamRefState(mu, nu, m_schedule_new, state.count + 1)
+
+    return optax.GradientTransformation(init, update)
 
 
 def create_optimizer(
@@ -220,9 +323,10 @@ def create_optimizer(
     elif name == "adamw":
         tx = optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps, **wd_kwargs())
     elif name == "nadam":
+        # reference-vendored Nadam (warming momentum schedule), not optax.nadam
         tx = optax.chain(
             optax.add_decayed_weights(weight_decay, mask=mask) if weight_decay else optax.identity(),
-            optax.nadam(lr, b1=betas[0], b2=betas[1], eps=eps),
+            nadam_ref(lr, betas=betas, eps=eps),
         )
     elif name == "radam":
         tx = optax.chain(
@@ -232,9 +336,14 @@ def create_optimizer(
     elif name == "adamp":
         tx = adamp(lr, betas=betas, eps=eps, weight_decay=weight_decay)
     elif name == "sgdp":
-        tx = sgdp(lr, momentum=mom, weight_decay=weight_decay)
+        tx = sgdp(lr, momentum=mom, weight_decay=weight_decay, eps=eps)
     elif name == "adadelta":
-        tx = optax.adadelta(lr, eps=eps)
+        # torch.optim.Adadelta defaults: rho=0.9, eps=1e-6 (NOT the adam 1e-8);
+        # coupled L2 weight decay masked like the reference's param groups
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=mask) if weight_decay else optax.identity(),
+            optax.adadelta(lr, rho=0.9, eps=opt_eps if opt_eps is not None else 1e-6),
+        )
     elif name == "adafactor":
         tx = optax.adafactor(lr if lr else None)
     elif name == "adahessian":
@@ -249,7 +358,12 @@ def create_optimizer(
     elif name == "rmsproptf":
         tx = rmsprop_tf(lr, alpha=0.9, momentum=mom, eps=eps, weight_decay=weight_decay)
     elif name in ("novograd", "nvnovograd"):
-        tx = optax.novograd(lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
+        # optax.novograd == the reference's NvNovoGrad update (per-tensor nu,
+        # first-step nu init to ||g||^2); 'novograd' (timm's experimental
+        # double-normalizing variant) maps here too — deviation pinned in
+        # PARITY.md. Reference default betas for these names are (0.95, 0.98).
+        nb = tuple(opt_betas) if opt_betas else (0.95, 0.98)
+        tx = optax.novograd(lr, b1=nb[0], b2=nb[1], eps=eps, weight_decay=weight_decay)
     elif name == "lamb":
         tx = optax.lamb(lr, b1=betas[0], b2=betas[1], eps=eps, **wd_kwargs())
     else:
