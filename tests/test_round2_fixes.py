@@ -82,6 +82,7 @@ def test_resume_restores_lr_scale_and_counters(tmp_path):
     assert tr2._resume_fit_state == {
         "epoch": 7, "best_val_loss": pytest.approx(0.123),
         "epochs_since_best": 3, "plateau_since_best": 2,
+        "plateau_best": float("inf"),
     }
     assert _get_lr_scale(tr2.opt_state) == pytest.approx(0.25)
 

@@ -59,8 +59,10 @@ class TrainerConfig:
     log_dir: str = "logs/run"
     task: str = "norm_rest"
     reduce_lr_factor: float = 0.5
-    reduce_lr_every: int = 10  # epochs between plateau checks (ref frequency=10)
-    reduce_lr_patience: int = 10  # plateau epochs (torch ReduceLROnPlateau default)
+    reduce_lr_every: int = 10  # epochs between scheduler steps (ref frequency=10)
+    reduce_lr_patience: int = 10  # bad STEPS before reduction (torch default)
+    plateau_threshold: float = 1e-4  # torch rel-threshold for "improved"
+    min_delta: float = 0.0  # EarlyStopping min_delta (ref utils.py:146)
     min_lr_scale: float = 1e-3
     swa: bool = False
     swa_start_frac: float = 0.75
@@ -454,11 +456,16 @@ class Trainer:
             "best_val_loss": float("inf"),
             "epochs_since_best": 0,
             "plateau_since_best": 0,
+            "plateau_best": float("inf"),
         }
         start_epoch = int(fit_state["epoch"])
         best_val_loss = float(fit_state["best_val_loss"])
         epochs_since_best = int(fit_state["epochs_since_best"])
+        # torch ReduceLROnPlateau state: num_bad_epochs (per scheduler STEP,
+        # not per epoch) and the scheduler's OWN best (rel-threshold, separate
+        # from the early-stop best)
         plateau_since_best = int(fit_state["plateau_since_best"])
+        plateau_best = float(fit_state.get("plateau_best", float("inf")))
         lr_scale = _get_lr_scale(self.opt_state)  # restored with opt_state on resume
         history: dict[str, float] = {}
         base_rng = jax.random.key(self.cfg.seed + 7)
@@ -484,13 +491,14 @@ class Trainer:
                 if self.cfg.autosave_steps and (step_i + 1) % self.cfg.autosave_steps == 0:
                     self._autosave(
                         self._train_state_tree(
-                            epoch, best_val_loss, epochs_since_best, plateau_since_best
+                            epoch, best_val_loss, epochs_since_best,
+                            plateau_since_best, plateau_best,
                         )
                     )
                 if getattr(self, "_preempted", False):
                     return self._preempt_return(
                         history, epoch, best_val_loss, epochs_since_best,
-                        plateau_since_best, step=step_i,
+                        plateau_since_best, plateau_best, step=step_i,
                     )
                 if self.cfg.fast_dev_run:
                     break
@@ -500,7 +508,7 @@ class Trainer:
             if getattr(self, "_preempted", False):
                 return self._preempt_return(
                     history, epoch, best_val_loss, epochs_since_best,
-                    plateau_since_best,
+                    plateau_since_best, plateau_best,
                 )
 
             train_loss = float(np.mean([np.asarray(l) for l in losses]))
@@ -535,26 +543,36 @@ class Trainer:
                     )
                     self._swa_count += 1
 
-            # early stopping on val_loss (ref EarlyStopping(patience))
-            if val["loss"] < best_val_loss - 1e-6:
+            # early stopping on val_loss, Lightning EarlyStopping semantics
+            # (ref utils.py:144-151: min_delta=0.0, mode=min): improvement iff
+            # current < best - min_delta; stop when wait_count hits patience
+            if val["loss"] < best_val_loss - self.cfg.min_delta:
                 best_val_loss = val["loss"]
                 epochs_since_best = 0
-                plateau_since_best = 0
             else:
                 epochs_since_best += 1
-                plateau_since_best += 1
             stop = epochs_since_best >= self.cfg.patience
 
-            # ReduceLROnPlateau every reduce_lr_every epochs (ref frequency=10)
-            if (
-                not stop
-                and (epoch + 1) % self.cfg.reduce_lr_every == 0
-                and plateau_since_best >= self.cfg.reduce_lr_patience
-                and lr_scale > self.cfg.min_lr_scale
-            ):
-                lr_scale = max(lr_scale * self.cfg.reduce_lr_factor, self.cfg.min_lr_scale)
-                self.opt_state = _set_lr_scale(self.opt_state, lr_scale)
-                plateau_since_best = 0
+            # ReduceLROnPlateau with torch's EXACT semantics (ref
+            # model_interface.py:873: factor=0.5, monitor val_loss,
+            # frequency=10 -> scheduler.step(val_loss) every 10 val epochs;
+            # torch defaults patience=10 steps, threshold=1e-4 RELATIVE,
+            # scheduler-own best, reduce when num_bad > patience).
+            # Epoch-sequence parity vs torch.optim.lr_scheduler.ReduceLROnPlateau
+            # is pinned by tests/test_control_flow_parity.py.
+            if (epoch + 1) % self.cfg.reduce_lr_every == 0:
+                if val["loss"] < plateau_best * (1.0 - self.cfg.plateau_threshold):
+                    plateau_best = val["loss"]
+                    plateau_since_best = 0
+                else:
+                    plateau_since_best += 1
+                if (
+                    plateau_since_best > self.cfg.reduce_lr_patience
+                    and lr_scale > self.cfg.min_lr_scale
+                ):
+                    lr_scale = max(lr_scale * self.cfg.reduce_lr_factor, self.cfg.min_lr_scale)
+                    self.opt_state = _set_lr_scale(self.opt_state, lr_scale)
+                    plateau_since_best = 0
 
             # metric-keyed checkpoints stay weights-only (reference
             # save_weights_only=True); last.ckpt carries the FULL end-of-epoch
@@ -565,7 +583,8 @@ class Trainer:
                 {"params": self.params, "model_state": self.model_state}, epoch,
                 {k: metrics[k] for k in ("val_loss", "val_auc", "val_accuracy")},
                 last_tree=self._train_state_tree(
-                    epoch + 1, best_val_loss, epochs_since_best, plateau_since_best
+                    epoch + 1, best_val_loss, epochs_since_best,
+                    plateau_since_best, plateau_best,
                 ),
             )
             # signal during eval/figures/checkpointing: the end-of-epoch state
@@ -586,7 +605,8 @@ class Trainer:
 
     def _preempt_return(
         self, history: dict, epoch: int, best_val_loss: float,
-        epochs_since_best: int, plateau_since_best: int, step: int | None = None,
+        epochs_since_best: int, plateau_since_best: int,
+        plateau_best: float = float("inf"), step: int | None = None,
     ) -> dict:
         """Consume a preemption signal mid-epoch: persist the full train state
         to last.ckpt and return ``history`` flagged so callers stop."""
@@ -594,7 +614,8 @@ class Trainer:
         save_pytree(
             self.ckpts.last_path(),
             self._train_state_tree(
-                epoch, best_val_loss, epochs_since_best, plateau_since_best
+                epoch, best_val_loss, epochs_since_best, plateau_since_best,
+                plateau_best,
             ),
             backend=self.cfg.ckpt_backend,
         )
@@ -643,7 +664,8 @@ class Trainer:
             ) from err
 
     def _train_state_tree(
-        self, epoch: int, best_val_loss: float, epochs_since_best: int, plateau_since_best: int
+        self, epoch: int, best_val_loss: float, epochs_since_best: int,
+        plateau_since_best: int, plateau_best: float = float("inf"),
     ) -> dict:
         return {
             "params": self.params,
@@ -653,7 +675,10 @@ class Trainer:
                 "epoch": np.int64(epoch),
                 "best_val_loss": np.float64(best_val_loss),
                 "epochs_since_best": np.int64(epochs_since_best),
+                # torch ReduceLROnPlateau state: num_bad scheduler steps +
+                # the scheduler's own rel-threshold best
                 "plateau_since_best": np.int64(plateau_since_best),
+                "plateau_best": np.float64(plateau_best),
             },
         }
 
