@@ -236,3 +236,74 @@ def test_malformed_content_length_is_400_and_counted(server):
     text = conn.getresponse().read().decode()
     conn.close()
     assert 'transmil_requests_total{endpoint="/predict",status="400"}' in text
+
+
+def test_microbatcher_coalesces_same_bucket_requests(tmp_path):
+    """Bundle exported with batch=4 + 8 concurrent single-bag clients of the
+    same bucket: the MicroBatcher must (a) return every client its own
+    correct logits, (b) run FEWER device dispatches than clients (coalescing
+    is real, not FIFO-with-extra-steps), and (c) keep working for mixed
+    buckets without cross-contamination."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from transmil_deepgraft_tpu.serving import MicroBatcher
+
+    model = create_model("AttMIL", n_classes=3, in_features=DIM)
+    x = np.zeros((4, 64, DIM), np.float32)
+    variables = jax.device_get(model.init({"params": jax.random.key(0)}, x))
+    path = tmp_path / "head_b4.tdx"
+    export_serving_bundle(
+        model, variables, path, model_name="AttMIL", in_features=DIM,
+        buckets=(64, 128), platforms=("cpu",), batch=4,
+    )
+    bundle = ServingBundle.load(path)
+
+    calls = []
+    orig = bundle._call_for
+
+    def counting(key):
+        fn = orig(key)
+
+        def wrapped(*a):
+            calls.append(key)
+            return fn(*a)
+
+        return wrapped
+
+    bundle._call_for = counting
+    mb = MicroBatcher(bundle, max_wait_ms=25.0)
+    try:
+        rng = np.random.default_rng(7)
+        bags = [rng.standard_normal((30 + i, DIM)).astype(np.float32) for i in range(8)]
+        # warm the bucket (compile outside the timed/counted window)
+        mb.predict_logits(bags[0])
+        calls.clear()
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(mb.predict_logits, bags))
+
+        fwd = jax.jit(lambda v, x: model.apply(v, x))
+        for feats, got in zip(bags, results):
+            padded = np.concatenate(
+                [feats, np.zeros((64 - feats.shape[0], DIM), np.float32)]
+            )
+            want = np.asarray(fwd(variables, padded[None]))[0]
+            np.testing.assert_allclose(got[0], want, atol=1e-4)
+        assert len(calls) < 8, calls  # coalesced: < one dispatch per client
+
+        # mixed padded lengths stay separated (AttMIL exports symbolically,
+        # so a 100-tile bag pads to 100, not to a bucket) — no contamination
+        calls.clear()
+        big = rng.standard_normal((100, DIM)).astype(np.float32)
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            fut_small = ex.submit(mb.predict_logits, bags[0])
+            fut_big = ex.submit(mb.predict_logits, big)
+            small_l, big_l = fut_small.result(), fut_big.result()
+        target = bundle._pad_target(100)
+        pb = np.concatenate([big, np.zeros((target - 100, DIM), np.float32)])
+        np.testing.assert_allclose(
+            big_l[0], np.asarray(fwd(variables, pb[None]))[0], atol=1e-4
+        )
+        assert small_l.shape == (1, 3) and np.isfinite(small_l).all()
+    finally:
+        mb.close()

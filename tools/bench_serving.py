@@ -7,6 +7,7 @@ host-observed quantity, so wall-clock around a blocking fetch IS the metric
 round-trip (JSON and npy bodies) against a localhost server.
 
   python tools/bench_serving.py [--model TransMIL] [--buckets 1024,4096,16384]
+  python tools/bench_serving.py --clients 1 4 8 --duration 5   # sustained QPS
 """
 
 from __future__ import annotations
@@ -45,6 +46,13 @@ def main() -> None:
                         "(int8 embed exports; slower to build)")
     p.add_argument("--slide_tiles", type=int, default=1024)
     p.add_argument("--out", default=None, help="write the JSON rows here too")
+    p.add_argument("--clients", type=int, nargs="*", default=[1, 4, 8],
+                   help="concurrent-client counts for the sustained-QPS mode")
+    p.add_argument("--duration", type=float, default=5.0,
+                   help="seconds per concurrent-load measurement")
+    p.add_argument("--batch", type=int, default=4,
+                   help="exported batch for the concurrent-load bundle "
+                        "(micro-batching headroom)")
     args = p.parse_args()
     buckets = tuple(int(b) for b in args.buckets.split(","))
 
@@ -99,6 +107,58 @@ def main() -> None:
         ms = time_min(lambda: http_req(body, ctype)) * 1e3
         rows.append({"path": name, "bucket": b, "ms": round(ms, 2),
                      "body_bytes": len(body)})
+        print(json.dumps(rows[-1]), flush=True)
+
+    srv.shutdown()
+    srv.server_close()
+
+    # --- concurrent-load mode: sustained QPS + p50/p99 under N clients -----
+    # (VERDICT r3 item 5: the daemon micro-batches same-bucket bags across
+    # clients; this measures whether concurrency holds up, vs head-of-line).
+    # Uses its own bundle exported with batch=--batch so the MicroBatcher has
+    # room to coalesce; single-bag clients ride shared device dispatches.
+    bpath = "/tmp/bench_serving_head_batched.tdx"
+    export_serving_bundle(model, variables, bpath, model_name=args.model,
+                          in_features=args.in_features, buckets=buckets,
+                          batch=args.batch)
+    srv = make_server(ServingBundle.load(bpath), "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    http_req(npy_body, "application/octet-stream")  # warm the batched program
+    for clients in args.clients:
+        lat: list[float] = []
+        lat_lock = threading.Lock()
+        stop_at = time.perf_counter() + args.duration
+
+        def client_loop():
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            while time.perf_counter() < stop_at:
+                t0 = time.perf_counter()
+                conn.request("POST", "/predict", body=npy_body,
+                             headers={"Content-Type": "application/octet-stream"})
+                r = conn.getresponse()
+                assert r.status == 200, r.read()[:200]
+                r.read()
+                dt = time.perf_counter() - t0
+                with lat_lock:
+                    lat.append(dt)
+            conn.close()
+
+        threads = [threading.Thread(target=client_loop) for _ in range(clients)]
+        t_start = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t_start
+        lat.sort()
+        rows.append({
+            "path": "http.predict.concurrent", "bucket": b, "clients": clients,
+            "qps": round(len(lat) / wall, 1),
+            "p50_ms": round(lat[len(lat) // 2] * 1e3, 2),
+            "p99_ms": round(lat[int(len(lat) * 0.99)] * 1e3, 2),
+            "requests": len(lat),
+        })
         print(json.dumps(rows[-1]), flush=True)
     srv.shutdown()
     srv.server_close()

@@ -634,3 +634,165 @@ class ServingBundle:
         logits, scores = self.predict_slide_logits_with_attention(tiles, coords)
         e = np.exp(logits - logits.max())
         return e / e.sum(), scores
+
+
+class MicroBatcher:
+    """Cross-request micro-batching for a :class:`ServingBundle` under
+    concurrent load (VERDICT r3 item 5: the serving daemon previously wrapped
+    every predict in one global lock — head-of-line blocking with zero
+    batching).
+
+    A single dispatcher thread owns device dispatch (one chip, one program at
+    a time — the correct serialization); request threads do their own
+    validation/bucket-padding (parallel host work), enqueue a prepared bag,
+    and block on a future. The dispatcher coalesces up to ``meta['batch']``
+    queued bags OF THE SAME BUCKET into one exported-program call, waiting at
+    most ``max_wait_ms`` for stragglers once the first bag is in hand —
+    concurrent clients hitting the same bucket ride one device dispatch
+    instead of queueing N serialized calls. Bags for other buckets are never
+    blocked behind an in-progress coalesce window (they defer to the next
+    dispatch, exactly one dispatch behind).
+
+    Export with ``batch=N`` (``export_serving_bundle(..., batch=N)``) to give
+    the batcher room; with ``batch=1`` it degrades gracefully to a fair FIFO
+    pipeline (still no global lock around host-side decode).
+    """
+
+    _CLOSE = object()
+
+    def __init__(self, bundle: "ServingBundle", max_wait_ms: float = 2.0,
+                 device_lock=None) -> None:
+        import queue as _queue
+        import threading
+
+        self.bundle = bundle
+        self.eb = int(bundle.meta.get("batch", 1))
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: "_queue.Queue" = _queue.Queue()
+        self._queue_mod = _queue
+        # serializes device use with OTHER device users (e.g. the daemon's
+        # /predict_slide path); the dispatcher holds it per dispatch
+        self._device_lock = device_lock or threading.Lock()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- public API
+    def predict_logits(self, feats: np.ndarray,
+                       coords: Optional[np.ndarray] = None) -> np.ndarray:
+        """(n, D) / (B, n, D) features -> (B, C) logits (B bags enqueue as B
+        independent micro-batchable requests)."""
+        from concurrent.futures import Future
+
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim == 2:
+            feats = feats[None]
+        if feats.ndim != 3:
+            raise ValueError(f"features must be (n, D) or (B, n, D), got {feats.shape}")
+        futures: list[Future] = []
+        for i in range(feats.shape[0]):
+            futures.append(self._enqueue(feats[i], None if coords is None else coords[i]))
+        return np.stack([f.result() for f in futures])
+
+    def predict(self, feats: np.ndarray, coords: Optional[np.ndarray] = None) -> np.ndarray:
+        logits = self.predict_logits(feats, coords)
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+    def close(self) -> None:
+        self._q.put(self._CLOSE)
+        self._thread.join(timeout=5)
+
+    # ---------------------------------------------------------------- internal
+    def _enqueue(self, feats: np.ndarray, coords):
+        """Validate + bucket-pad ON THE REQUEST THREAD; returns a Future."""
+        from concurrent.futures import Future
+
+        n, d = feats.shape
+        if d != self.bundle.meta["in_features"]:
+            raise ValueError(
+                f"expected in_features={self.bundle.meta['in_features']}, got {d}"
+            )
+        target = self.bundle._pad_target(n)
+        if target != n:
+            feats = np.concatenate([feats, np.zeros((target - n, d), np.float32)])
+        if self.bundle.meta.get("coord_aware"):
+            from transmil_deepgraft_tpu.data.coords import grid_coords, normalize_pad_coords
+
+            if coords is None:
+                coords = grid_coords(target, 1)[0]
+            else:
+                coords = np.asarray(coords, np.float32)
+                if coords.shape != (n, 2):
+                    raise ValueError(f"coords must be ({n}, 2), got {coords.shape}")
+                coords = normalize_pad_coords(coords, target)
+        elif coords is not None:
+            raise ValueError("this bundle's head is not coord-aware")
+        fut: Future = Future()
+        call_key = "symbolic" if self.bundle.meta["mode"] == "symbolic" else str(target)
+        # group key includes target: symbolic bundles share one exported call
+        # but bags only stack when their padded lengths agree
+        self._q.put(((call_key, target), target, feats, coords, fut))
+        return fut
+
+    def _run(self) -> None:
+        import time as _time
+        from collections import deque
+
+        pending: deque = deque()
+        while True:
+            item = pending.popleft() if pending else self._q.get()
+            if item is self._CLOSE:
+                return
+            key = item[0]
+            group = [item]
+            # coalesce compatibles already deferred, oldest first
+            for other in list(pending):
+                if len(group) >= self.eb:
+                    break
+                if other[0] == key:
+                    pending.remove(other)
+                    group.append(other)
+            # then wait (briefly) for stragglers on the live queue
+            deadline = _time.monotonic() + self.max_wait_s
+            while len(group) < self.eb:
+                timeout = deadline - _time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except self._queue_mod.Empty:
+                    break
+                if nxt is self._CLOSE:
+                    self._dispatch(group)
+                    return
+                if nxt[0] == key and len(group) < self.eb:
+                    group.append(nxt)
+                else:
+                    pending.append(nxt)
+            self._dispatch(group)
+
+    def _dispatch(self, group: list) -> None:
+        _, target, f0, c0, _ = group[0]
+        k = len(group)
+        feats = np.stack([g[2] for g in group])
+        pad = self.eb - k
+        if pad:  # fill the exported batch with zero bags
+            feats = np.concatenate([feats, np.zeros((pad, *f0.shape), np.float32)])
+        args = (feats,)
+        if c0 is not None:
+            coords = np.stack([g[3] for g in group])
+            if pad:
+                coords = np.concatenate([coords, np.zeros((pad, *c0.shape), np.float32)])
+            args = (feats, coords)
+        call_key = group[0][0][0]
+        try:
+            with self._device_lock:
+                logits = np.asarray(
+                    self.bundle._call_for(call_key)(self.bundle._dev_head_vars(), *args)
+                )
+            for i, (_, _, _, _, fut) in enumerate(group):
+                fut.set_result(logits[i])
+        except Exception as e:  # noqa: BLE001 — deliver to every waiter
+            for _, _, _, _, fut in group:
+                if not fut.done():
+                    fut.set_exception(e)
