@@ -85,6 +85,41 @@ def assemble_heatmap(
     return grid / hi if hi > 0 else grid
 
 
+def assemble_pixel_attention_map(
+    coords: np.ndarray,
+    scores: np.ndarray,
+    *,
+    tile_px: int = 224,
+    sigma: float = 15.0,
+) -> np.ndarray:
+    """REFERENCE-EXACT full-resolution attention mask
+    (``visualize_mil.py:368-436`` ``_save_attention_map``): min-max normalize
+    the per-tile scores, scatter onto the tile grid, bilinear-upsample to the
+    ``tile_px``-per-tile pixel canvas (torch ``F.interpolate`` semantics,
+    align_corners=False), min-max normalize again, gaussian blur with
+    ``sigma`` PIXELS. Golden-pinned against a torch oracle
+    (``tests/torch_ref/heatmap_oracle.py``); ``assemble_heatmap`` above is the
+    cheaper grid-level variant for dashboards."""
+    from scipy.ndimage import gaussian_filter, map_coordinates
+
+    coords = np.asarray(coords, np.int64)
+    s = np.asarray(scores, np.float64)
+    s = (s - s.min()) / (s.max() - s.min() + 1e-12)
+    w = int(coords[:, 0].max()) + 1
+    h = int(coords[:, 1].max()) + 1
+    grid = np.zeros((h, w), np.float64)
+    grid[coords[:, 1], coords[:, 0]] = s
+    H, W = h * tile_px, w * tile_px
+    # torch bilinear align_corners=False sampling: src = (i + 0.5)*scale - 0.5,
+    # edge-clamped — map_coordinates(order=1, mode='nearest') reproduces it
+    yy = (np.arange(H) + 0.5) * (h / H) - 0.5
+    xx = (np.arange(W) + 0.5) * (w / W) - 0.5
+    cy, cx = np.meshgrid(yy, xx, indexing="ij")
+    up = map_coordinates(grid, [cy, cx], order=1, mode="nearest")
+    up = (up - up.min()) / (up.max() - up.min() + 1e-12)
+    return gaussian_filter(up, sigma=sigma)
+
+
 def roi_mask(occupancy: np.ndarray, min_size: int = 16, fill_holes: bool = True) -> np.ndarray:
     """Tissue-region mask: drop small connected components, fill holes
     (ref skimage remove_small_objects/remove_small_holes, ``visualize_mil.py:245-436``)."""
