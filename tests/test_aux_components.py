@@ -166,3 +166,48 @@ def test_jax_platforms_env_is_authoritative():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip().splitlines()[-1] == "cpu"
+
+
+def test_scan_log_tree_discovery(tmp_path):
+    """Log-tree run discovery (the reference get_data surface,
+    export_metrics.py:198-260): runs found by walking
+    {root}/{project}/{model}/{task}/_{backbone}_{loss}[/fold*], with
+    project/model/task filters, and the CLI --log_root path feeds them to
+    export_combined."""
+    import pandas as pd
+
+    from transmil_deepgraft_tpu.utils.export_metrics import scan_log_tree
+
+    rng = np.random.default_rng(1)
+
+    def make_run(*parts):
+        d = tmp_path.joinpath(*parts)
+        d.mkdir(parents=True, exist_ok=True)
+        t = rng.integers(0, 2, 30)
+        pr = t * 0.6 + rng.random(30) * 0.4
+        pd.DataFrame({"PATIENT": [f"p{i}" for i in range(30)], "yTrue": t,
+                      "Normal": 1 - pr, "Disease": pr}).to_csv(
+            d / "TEST_RESULT_PATIENT.csv")
+        return d
+
+    r1 = make_run("DeepGraft", "TransMIL", "norm_rest", "_features_CrossEntropyLoss")
+    r2 = make_run("DeepGraft", "AttMIL", "norm_rest", "_features_CrossEntropyLoss")
+    r3 = make_run("DeepGraft", "TransMIL", "rej_rest", "_features_CrossEntropyLoss", "fold1")
+    make_run("Camelyon", "TransMIL", "tumor", "_features_CrossEntropyLoss")
+
+    allr = scan_log_tree(tmp_path)
+    assert {r["dir"] for r in allr} >= {str(r1), str(r2), str(r3)}
+    tm = scan_log_tree(tmp_path, project="DeepGraft", model="TransMIL")
+    assert {r["dir"] for r in tm} == {str(r1), str(r3)}
+    assert all(r["model"] == "TransMIL" for r in tm)
+    nr = scan_log_tree(tmp_path, task="norm_rest")
+    assert {r["dir"] for r in nr} == {str(r1), str(r2)}
+
+    # CLI --log_root end to end
+    from transmil_deepgraft_tpu.cli.export_metrics import main
+
+    out = tmp_path / "combined.csv"
+    main(["--log_root", str(tmp_path), "--model", "TransMIL",
+          "--task", "norm_rest", "--out_csv", str(out)])
+    assert out.exists()
+    assert len(pd.read_csv(out)) >= 2  # per-class rows across the 2 runs

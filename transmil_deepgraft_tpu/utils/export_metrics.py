@@ -275,3 +275,44 @@ def export_combined(run_dirs: list[str | Path], task: str, n_classes: int, out_c
         plot_runs_comparison(results, n_classes, stem)
         plot_combined_confusions(results, n_classes, f"{stem}_confusions.png", task)
         plot_pr_comparison(results, n_classes, f"{stem}_pr_comparison.png")
+
+
+def scan_log_tree(
+    log_root: str | Path,
+    project: str | None = None,
+    model: str | None = None,
+    task: str | None = None,
+) -> list[dict]:
+    """Discover finished runs in the project log tree — the reference's
+    ``get_data`` surface (``export_metrics.py:198-260`` walks
+    ``logs/{project}/{model}/{task}/..._{loss}/.../version_{v}/test_epoch_{e}``
+    for result CSVs; this framework's tree is
+    ``{log_path}/{project}/{model}/{task}/_{backbone}_{loss}`` with kfold runs
+    nesting ``fold{k}`` dirs — ``utils/config.finalize_config``).
+
+    Returns one dict per run dir holding a ``TEST_RESULT_PATIENT.csv``:
+    ``{"dir", "project", "model", "task", "variant"}``, filtered by the
+    optional project/model/task arguments (case-insensitive exact match).
+    Feed the ``dir`` values to :func:`export_combined` /
+    ``cli.export_metrics --log_root``.
+    """
+    root = Path(log_root)
+    runs: list[dict] = []
+    for csv in sorted(root.rglob("TEST_RESULT_PATIENT.csv")):
+        run_dir = csv.parent
+        rel = run_dir.relative_to(root).parts
+        # walk up past version_/fold subdirs to the _{backbone}_{loss} leaf
+        fields = [p for p in rel if not (p.startswith(("version_", "fold")))]
+        info = {
+            "dir": str(run_dir),
+            "project": fields[0] if len(fields) > 3 else None,
+            "model": fields[1] if len(fields) > 3 else None,
+            "task": fields[2] if len(fields) > 3 else None,
+            "variant": fields[3] if len(fields) > 3 else (fields[-1] if fields else None),
+        }
+        for key, want in (("project", project), ("model", model), ("task", task)):
+            if want is not None and (info[key] or "").lower() != want.lower():
+                break
+        else:
+            runs.append(info)
+    return runs
