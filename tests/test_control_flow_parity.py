@@ -171,3 +171,25 @@ def test_swa_average_equals_window_mean(tmp_path):
     mean = jax.tree.map(lambda *xs: np.mean(np.stack(xs), axis=0), *per_epoch)
     for a, b in zip(jax.tree.leaves(mean), jax.tree.leaves(tr.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_round3_fullstate_checkpoint_still_resumes(tmp_path):
+    """Round-3 full-state last.ckpt layout (fit tree WITHOUT plateau_best)
+    must still restore as FULL train state, not fall back to weights-only
+    (MIGRATION.md round-4 note)."""
+    from transmil_deepgraft_tpu.utils.checkpoints import save_pytree
+
+    tr, log_dir = _fit(tmp_path, epochs=1, patience=10, reduce_lr_every=10,
+                       reduce_lr_patience=10, subdir="legacy")
+    legacy = tr._legacy_train_state_tree()
+    legacy["fit"]["epoch"] = np.int64(5)
+    legacy["fit"]["best_val_loss"] = np.float64(0.42)
+    legacy["fit"]["epochs_since_best"] = np.int64(2)
+    save_pytree(tmp_path / "legacy_last.ckpt", legacy)
+
+    tr2, _ = _fit(tmp_path, epochs=1, patience=10, reduce_lr_every=10,
+                  reduce_lr_patience=10, subdir="legacy2")
+    assert tr2.load_train_state(tmp_path / "legacy_last.ckpt") is True
+    assert tr2._resume_fit_state["epoch"] == 5
+    assert tr2._resume_fit_state["best_val_loss"] == pytest.approx(0.42)
+    assert "plateau_best" not in tr2._resume_fit_state  # fit loop defaults it

@@ -682,6 +682,14 @@ class Trainer:
             },
         }
 
+    def _legacy_train_state_tree(self) -> dict:
+        """Round-3 full-state layout (no ``plateau_best`` in fit): kept so
+        older last.ckpt files still resume with full state (the scheduler's
+        own best re-initializes to inf — one extra improvement check)."""
+        tree = self._train_state_tree(0, 0.0, 0, 0)
+        tree["fit"] = {k: v for k, v in tree["fit"].items() if k != "plateau_best"}
+        return tree
+
     def load_train_state(self, path: str | Path) -> bool:
         """Restore a FULL training state written by ``fit`` (params + opt_state +
         loop counters). Returns True on success; False if ``path`` holds an old
@@ -689,11 +697,16 @@ class Trainer:
         if self.params is None:
             first = next(iter(self.dm.train_batches(epoch=0)))
             self.init_params(first)
-        target = self._train_state_tree(0, 0.0, 0, 0)
-        try:
-            # load_pytree autodetects the backend (orbax checkpoints are dirs)
-            restored = load_pytree(path, target)
-        except (ValueError, KeyError):
+        restored = None
+        for target in (self._train_state_tree(0, 0.0, 0, 0),
+                       self._legacy_train_state_tree()):
+            try:
+                # load_pytree autodetects the backend (orbax ckpts are dirs)
+                restored = load_pytree(path, target)
+                break
+            except (ValueError, KeyError):
+                continue
+        if restored is None:
             self.load_checkpoint(path)
             return False
         self.params = restored["params"]
@@ -948,6 +961,7 @@ class Trainer:
             {"params": self.params, "model_state": self.model_state},
             {"params": self.params},  # legacy weights-only files
             self._train_state_tree(0, 0.0, 0, 0),
+            self._legacy_train_state_tree(),  # round-3 full-state layout
         ):
             try:
                 if data is not None:
