@@ -27,7 +27,9 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def chained_time_ms(fn, x, iters=8, reps=4):
+def chained_time_ms(fn, x, iters=32, reps=5):
+    # iters=32: a ~3 ms kernel runs ~100 ms per chained rep, an order of
+    # magnitude above relay RTT variance (iters=8 was RTT-noise-limited)
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +41,9 @@ def chained_time_ms(fn, x, iters=8, reps=4):
             return fn(xi), ()
 
         out, _ = jax.lax.scan(body, x0, None, length=iters)
-        return out
+        # scalar-reduce INSIDE the jit: fetching the full (1, n, 512) output
+        # (84 MB) over the relay would dwarf the kernel time being measured
+        return out.mean()
 
     np.asarray(chained(x))  # compile + warm
     rtts, totals = [], []
