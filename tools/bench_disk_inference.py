@@ -100,17 +100,22 @@ def main() -> None:
          unit="tiles/s", probe_tiles=len(probe))
 
     # --- 2. pure H2D uint8 bandwidth ---------------------------------------
+    # block_until_ready can return EARLY under the relay, so force each
+    # transfer to completion with a scalar fetch, and ship DISTINCT buffers
+    # (a re-put of identical bytes can be short-circuited)
     chunk_u8 = batch[: args.chunk]
     nbytes = chunk_u8.nbytes
-    jax.block_until_ready(jax.device_put(chunk_u8))  # warm
-    reps = 8
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        jax.block_until_ready(jax.device_put(chunk_u8))
-    h2d = time.perf_counter() - t0
-    emit(metric="h2d_gbytes_per_sec", value=round(nbytes * reps / h2d / 1e9, 3),
+    np.asarray(jax.device_put(chunk_u8)[0, 0, 0, 0])  # warm
+    reps, h2d_times = 3, []
+    for rep in range(reps):
+        buf = np.ascontiguousarray(chunk_u8 + (rep + 1))
+        t0 = time.perf_counter()
+        np.asarray(jax.device_put(buf)[0, 0, 0, 0])
+        h2d_times.append(time.perf_counter() - t0)
+    h2d_bw = nbytes / min(h2d_times)  # bytes/s, best rep
+    emit(metric="h2d_gbytes_per_sec", value=round(h2d_bw / 1e9, 4),
          unit="GB/s", chunk_mbytes=round(nbytes / 1e6, 1),
-         per_chunk_ms=round(h2d / reps * 1e3, 2))
+         per_chunk_ms=round(min(h2d_times) * 1e3, 2))
 
     # --- pipeline ----------------------------------------------------------
     backbone = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
@@ -139,14 +144,19 @@ def main() -> None:
          tiles=args.tiles, quantize=args.quantize,
          slides_per_sec=round(1.0 / streamed, 4))
 
-    # --- 4. non-overlapped decomposition -> overlap efficiency -------------
+    # --- 4. per-segment decomposition -> bound + overlap efficiency --------
+    # decode (host CPU), H2D (link: PCIe on a real TPU VM, the tunnel here —
+    # estimated from the measured sustained bandwidth, since a device-put loop
+    # is exactly what the streamed path already contains), device embed
+    # (device-resident input, so no link time double-counted), head forward.
     t0 = time.perf_counter()
     for s in range(0, args.tiles, args.decode_probe):
         decode_tile_paths(paths[s : s + args.decode_probe], args.size)
     decode_total = time.perf_counter() - t0
+    n_chunks = (args.tiles + args.chunk - 1) // args.chunk
+    h2d_total = n_chunks * nbytes / h2d_bw
     feats = pipe.embed_device(batch[: args.chunk])  # warm again post-decode
     t0 = time.perf_counter()
-    n_chunks = (args.tiles + args.chunk - 1) // args.chunk
     dev = jax.device_put(chunk_u8)
     for _ in range(n_chunks):
         feats = pipe._embed_u8(*pipe._embed_args, dev)
@@ -155,12 +165,14 @@ def main() -> None:
     t0 = time.perf_counter()
     np.asarray(pipe._head_fwd(pipe.hv, jnp.zeros((1, args.tiles, 2048))))
     head_total = time.perf_counter() - t0
-    sequential = decode_total + embed_total + head_total
+    segments = {"decode_s": decode_total, "h2d_s": h2d_total,
+                "embed_s": embed_total, "head_s": head_total}
+    sequential = sum(segments.values())
+    bound = max(segments, key=segments.get)
     emit(metric="overlap_efficiency", value=round(sequential / streamed, 3),
-         unit="x", decode_s=round(decode_total, 3), embed_s=round(embed_total, 3),
-         head_s=round(head_total, 3), sequential_s=round(sequential, 3),
-         streamed_s=round(streamed, 3),
-         host_bound=bool(decode_total > embed_total + head_total))
+         unit="x", **{k: round(v, 3) for k, v in segments.items()},
+         sequential_s=round(sequential, 3), streamed_s=round(streamed, 3),
+         bound=bound.removesuffix("_s"))
 
 
 if __name__ == "__main__":
