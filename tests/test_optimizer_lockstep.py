@@ -8,14 +8,23 @@ exercised) for every name the reference's factory can resolve
 (``/root/reference/code/MyOptimizer/optim_factory.py:40-123``) and asserts the
 per-step losses track the torch run:
 
-  adamw / adam / radam / adadelta  -> torch.optim builtins with the reference's
+  adamw / adam / radam / adadelta / momentum / rmsprop
+                                   -> torch.optim builtins with the reference's
                                       add_weight_decay param groups
-  nadam / adamp / sgdp / rmsproptf / nvnovograd
+  nadam / adamp / sgdp / rmsproptf / nvnovograd / adafactor / adahessian
                                    -> tests/torch_ref/torch_opt oracles written
                                       from the vendored algorithms' published
                                       semantics (warming-schedule Nadam,
                                       AdamP/SGDP two-view projection, TF1
-                                      RMSprop, NVIDIA NovoGrad)
+                                      RMSprop, NVIDIA NovoGrad, fairseq
+                                      Adafactor, Hutchinson AdaHessian)
+
+With these rows the full factory surface is pinned: every resolvable name
+except the apex ``fused*`` aliases (mapped to the pinned plain counterparts)
+and timm's experimental 'novograd' (PARITY deviation 8). adafactor runs both
+lr modes (explicit lr, and the lr=None relative-step schedule the factory
+selects for falsy lr); adahessian runs with identical joint Hutchinson
+probes fed to both sides (separate dedicated tests below the matrix).
 
 SGDP is no longer an approximation (VERDICT r3 Weak #5): the JAX factory now
 implements the full projection algorithm, lockstep-pinned here. The reference's
@@ -36,6 +45,8 @@ import optax  # noqa: E402
 
 from tests.torch_ref import mil_torch  # noqa: E402
 from tests.torch_ref.torch_opt import (  # noqa: E402
+    ReferenceAdafactor,
+    ReferenceAdaHessian,
     ReferenceAdamP,
     ReferenceNadam,
     ReferenceNvNovoGrad,
@@ -89,11 +100,18 @@ TORCH_MAKERS = {
     "adam": lambda m: [torch.optim.Adam(_groups(m, WD), lr=LR)],
     "radam": lambda m: [torch.optim.RAdam(_groups(m, WD), lr=LR)],
     "adadelta": lambda m: [torch.optim.Adadelta(_groups(m, WD), lr=LR)],
+    # 'momentum' = plain (non-nesterov) heavy-ball SGD (optim_factory.py:68-70)
+    "momentum": lambda m: [torch.optim.SGD(_groups(m, WD), lr=LR, momentum=0.9, nesterov=False)],
+    # 'rmsprop' = torch builtin: eps OUTSIDE sqrt, alpha=0.9, momentum buffer
+    "rmsprop": lambda m: [torch.optim.RMSprop(_groups(m, WD), lr=LR, alpha=0.9, momentum=0.9, eps=1e-8)],
     "nadam": lambda m: _oracle_pair(ReferenceNadam, m, WD, lr=LR),
     "adamp": lambda m: _oracle_pair(ReferenceAdamP, m, WD, lr=LR),
     "sgdp": lambda m: _oracle_pair(ReferenceSGDP, m, WD, lr=LR),
     "rmsproptf": lambda m: _oracle_pair(ReferenceRMspropTF, m, WD, lr=LR),
     "nvnovograd": lambda m: _oracle_pair(ReferenceNvNovoGrad, m, WD, lr=LR),
+    # fairseq-vendored Adafactor with explicit lr: factored second moments for
+    # every ndim>=2 leaf, no parameter-scale multiply, decoupled lr-scaled wd
+    "adafactor": lambda m: _oracle_pair(ReferenceAdafactor, m, WD, lr=LR),
 }
 
 # per-name tolerance on per-step |loss_torch - loss_jax|: most names track at
@@ -124,11 +142,11 @@ def _torch_run(batches, make_opts):
     return sd0, np.asarray(losses)
 
 
-def _jax_run(sd0, batches, opt_name: str):
+def _jax_run(sd0, batches, opt_name: str, lr: float = LR, **opt_kwargs):
     variables = convert_attmil_state_dict(sd0, in_features=IN_F)
     model = AttMIL(n_classes=N_CLS, in_features=IN_F, out_features=OUT_F)
     params = jax.tree.map(jnp.asarray, variables["params"])
-    tx = create_optimizer(opt=opt_name, lr=LR, weight_decay=WD, params=params)
+    tx = create_optimizer(opt=opt_name, lr=lr, weight_decay=WD, params=params, **opt_kwargs)
     opt_state = tx.init(params)
 
     @jax.jit
@@ -194,3 +212,91 @@ def test_projection_branch_vs_torch_oracle():
 
     # radial gradient (parallel to p): cosine ~ 1 -> no projection
     check((0.3 * p).astype(np.float32), expect_fire=False)
+
+
+def test_adafactor_relative_step_with_beta1():
+    """The factory's no-lr branch (``optim_factory.py:86-88``: lr falsy ->
+    Adafactor(lr=None)): relative-step schedule min(1e-2, 1/sqrt(t)) times the
+    parameter-scale max(eps_scale, RMS(p)), plus the optional first moment
+    (beta1 from opt_betas) as an EMA of the SCALED update."""
+    batches = _batches(STEPS, seed=7)
+    sd0, t_losses = _torch_run(
+        batches, lambda m: _oracle_pair(ReferenceAdafactor, m, WD, lr=None, beta1=0.9)
+    )
+    j_losses = _jax_run(sd0, batches, "adafactor", lr=0.0, opt_betas=(0.9, 0.999))
+    deltas = np.abs(t_losses - j_losses)
+    assert deltas.max() <= 1e-4, (deltas, t_losses, j_losses)
+    assert np.abs(np.diff(t_losses)).max() > 1e-5
+
+
+def test_adahessian_lockstep_shared_probes():
+    """AdaHessian (``MyOptimizer/adahessian.py``) vs the optax transform with
+    IDENTICAL Rademacher probes both sides (the torch oracle takes z per step;
+    the jax side computes the same z*(Hz) via forward-over-reverse jvp). Tiny
+    logistic-regression model so the param mapping is trivial: weight decays
+    (ndim 2), bias exempt — exercising the new adahessian mask."""
+    import flax.linen as fnn
+
+    from transmil_deepgraft_tpu.train.adahessian import adahessian as adahessian_tx
+    from transmil_deepgraft_tpu.train.optimizers import weight_decay_mask
+
+    IN, CLS, STEPS_H, LR_H = 12, 3, 10, 1e-2
+    rng = np.random.default_rng(17)
+    batches = [
+        (rng.standard_normal((6, IN)).astype(np.float32),
+         rng.integers(CLS, size=6))
+        for _ in range(STEPS_H)
+    ]
+    # shared Rademacher probes per step, in flax (kernel (IN,CLS)) layout
+    zs = [
+        {"kernel": (rng.integers(0, 2, (IN, CLS)) * 2 - 1).astype(np.float32),
+         "bias": (rng.integers(0, 2, (CLS,)) * 2 - 1).astype(np.float32)}
+        for _ in range(STEPS_H)
+    ]
+
+    torch.manual_seed(1)
+    lin = torch.nn.Linear(IN, CLS)
+    w0, b0 = lin.weight.detach().clone().numpy(), lin.bias.detach().clone().numpy()
+    # ONE instance over both params: the reference's set_hessian computes the
+    # Hutchinson product JOINTLY (weight's probe includes the H_wb z_b
+    # cross-block term), so param groups can't be split into instances here
+    opt = ReferenceAdaHessian(
+        [lin.weight, lin.bias], lr=LR_H, weight_decay=WD, decay_flags=[True, False]
+    )
+    t_losses = []
+    for (x, y), z in zip(batches, zs):
+        loss = F.cross_entropy(lin(torch.from_numpy(x)), torch.from_numpy(y))
+        opt.set_z([z["kernel"].T, z["bias"]])
+        opt.hutchinson(loss)
+        t_losses.append(loss.item())
+        opt.step()
+
+    model = fnn.Dense(CLS)
+    params = {"kernel": jnp.asarray(w0.T), "bias": jnp.asarray(b0)}
+    tx = adahessian_tx(LR_H, weight_decay=WD, mask=weight_decay_mask(params))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y, z):
+        def loss_fn(p):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                model.apply({"params": p}, x), y
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        _, hvp = jax.jvp(jax.grad(loss_fn), (params,), (z,))
+        diag = jax.tree.map(lambda h, zz: h * zz, hvp, z)
+        updates, opt_state = tx.update(grads, opt_state, params, hessian_diag=diag)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    j_losses = []
+    for (x, y), z in zip(batches, zs):
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(x), jnp.asarray(y),
+            jax.tree.map(jnp.asarray, z),
+        )
+        j_losses.append(float(loss))
+
+    deltas = np.abs(np.asarray(t_losses) - np.asarray(j_losses))
+    assert deltas.max() <= 5e-5, (deltas, t_losses, j_losses)
+    assert np.abs(np.diff(t_losses)).max() > 1e-5

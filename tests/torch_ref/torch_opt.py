@@ -287,3 +287,122 @@ class ReferenceNvNovoGrad:
     def zero_grad(self) -> None:
         for p in self.params:
             p.grad = None
+
+
+class ReferenceAdafactor:
+    """Adafactor with the reference's vendored fairseq semantics
+    (``MyOptimizer/adafactor.py``): any ndim>=2 param is row/col-factored,
+    beta2 schedule 1 - t**-0.8, eps added to g^2 before the factored means,
+    RMS clipping at 1.0, explicit lr (no parameter-scale multiply), decoupled
+    wd scaled by lr_t, optional first moment (beta1) as an EMA of the final
+    scaled update."""
+
+    def __init__(self, params, lr=None, eps: float = 1e-30, eps_scale: float = 1e-3,
+                 clip_threshold: float = 1.0, decay_rate: float = -0.8,
+                 beta1=None, weight_decay: float = 0.0, scale_parameter: bool = True):
+        self.params = [p for p in params if p.requires_grad]
+        self.lr, self.eps, self.eps_scale = lr, eps, eps_scale
+        self.clip, self.decay_rate, self.b1 = clip_threshold, decay_rate, beta1
+        self.wd, self.scale_parameter = weight_decay, scale_parameter
+        self.step_n = 0
+        self.row = [torch.zeros(p.shape[:-1]) if p.dim() >= 2 else None for p in self.params]
+        self.col = [torch.zeros(p.shape[:-2] + p.shape[-1:]) if p.dim() >= 2 else None
+                    for p in self.params]
+        self.v = [torch.zeros_like(p) if p.dim() < 2 else None for p in self.params]
+        self.m = [torch.zeros_like(p) if beta1 is not None else None for p in self.params]
+
+    @staticmethod
+    def _rms(t: torch.Tensor) -> torch.Tensor:
+        return t.norm(2) / (t.numel() ** 0.5)
+
+    @torch.no_grad()
+    def step(self) -> None:
+        self.step_n += 1
+        beta2t = 1.0 - self.step_n ** self.decay_rate
+        for i, p in enumerate(self.params):
+            if p.grad is None:
+                continue
+            g = p.grad
+            if self.lr is None:
+                lr_t = min(1e-2, 1.0 / (self.step_n ** 0.5))
+                if self.scale_parameter:
+                    lr_t = lr_t * max(self.eps_scale, float(self._rms(p)))
+            else:
+                lr_t = self.lr
+            u = g.pow(2) + self.eps
+            if p.dim() >= 2:
+                self.row[i].mul_(beta2t).add_(u.mean(dim=-1), alpha=1 - beta2t)
+                self.col[i].mul_(beta2t).add_(u.mean(dim=-2), alpha=1 - beta2t)
+                r_factor = (self.row[i] / self.row[i].mean(dim=-1, keepdim=True)).rsqrt().unsqueeze(-1)
+                c_factor = self.col[i].unsqueeze(-2).rsqrt()
+                u = r_factor * c_factor * g
+            else:
+                self.v[i].mul_(beta2t).add_(u, alpha=1 - beta2t)
+                u = self.v[i].rsqrt() * g
+            u = u / (self._rms(u) / self.clip).clamp_(min=1.0)
+            u = u * lr_t
+            if self.b1 is not None:
+                self.m[i].mul_(self.b1).add_(u, alpha=1 - self.b1)
+                u = self.m[i]
+            if self.wd:
+                p.add_(p, alpha=-self.wd * lr_t)
+            p.add_(-u)
+
+    def zero_grad(self) -> None:
+        for p in self.params:
+            p.grad = None
+
+
+class ReferenceAdaHessian:
+    """AdaHessian (ref vendored ``MyOptimizer/adahessian.py``): Adam-like with
+    the second moment over a Hutchinson diagonal-Hessian estimate and
+    AdamW-style decoupled weight decay applied BEFORE the update. The
+    Rademacher probes are supplied per step (``set_z``) so the JAX side can
+    use identical ones."""
+
+    def __init__(self, params, lr: float, betas=(0.9, 0.999), eps: float = 1e-8,
+                 weight_decay: float = 0.0, hessian_power: float = 1.0,
+                 decay_flags=None):
+        self.params = [p for p in params if p.requires_grad]
+        self.lr, self.b1, self.b2 = lr, betas[0], betas[1]
+        self.eps, self.wd, self.k = eps, weight_decay, hessian_power
+        # per-param weight-decay gate (the factory's add_weight_decay ndim>1
+        # split expressed on ONE instance — the hutchinson pass must run
+        # jointly over all params, so param groups can't be separate instances)
+        self.decay_flags = decay_flags if decay_flags is not None else [True] * len(self.params)
+        self.m = [torch.zeros_like(p) for p in self.params]
+        self.v = [torch.zeros_like(p) for p in self.params]
+        self.step_n = 0
+        self._z = None
+
+    def set_z(self, zs) -> None:
+        self._z = [torch.as_tensor(z, dtype=torch.float32) for z in zs]
+
+    def hutchinson(self, loss: torch.Tensor) -> None:
+        """Populate p.hess = z * (H z) from the supplied probes; call before
+        ``step`` with ``loss`` built with create_graph-able grads."""
+        grads = torch.autograd.grad(loss, self.params, create_graph=True)
+        h_zs = torch.autograd.grad(grads, self.params, grad_outputs=self._z)
+        self.hess = [hz * z for hz, z in zip(h_zs, self._z)]
+        # first-order grads for the Adam numerator
+        for p, g in zip(self.params, grads):
+            p.grad = g.detach()
+
+    @torch.no_grad()
+    def step(self) -> None:
+        self.step_n += 1
+        bc1 = 1 - self.b1 ** self.step_n
+        bc2 = 1 - self.b2 ** self.step_n
+        for p, m, v, d, decayed in zip(self.params, self.m, self.v, self.hess, self.decay_flags):
+            if p.grad is None:
+                continue
+            if decayed:
+                p.mul_(1 - self.lr * self.wd)
+            m.mul_(self.b1).add_(p.grad, alpha=1 - self.b1)
+            v.mul_(self.b2).addcmul_(d, d, value=1 - self.b2)
+            denom = (v / bc2).pow(self.k / 2).add_(self.eps)
+            p.addcdiv_(m, denom, value=-self.lr / bc1)
+
+    def zero_grad(self) -> None:
+        for p in self.params:
+            p.grad = None

@@ -51,8 +51,14 @@ def adahessian(
     eps: float = 1e-8,
     weight_decay: float = 0.0,
     hessian_power: float = 1.0,
+    mask: Any = None,
 ) -> optax.GradientTransformationExtraArgs:
-    """AdaHessian update; ``update`` requires ``hessian_diag=`` extra arg."""
+    """AdaHessian update; ``update`` requires ``hessian_diag=`` extra arg.
+
+    ``mask``: pytree of bools selecting which leaves receive the (decoupled,
+    AdamW-placement) weight decay — the reference factory's ``add_weight_decay``
+    ndim>1 grouping exempts biases/1-d params for adahessian like every name.
+    """
     b1, b2 = betas
 
     def init(params):
@@ -69,14 +75,16 @@ def adahessian(
         bc1 = 1 - b1 ** count.astype(jnp.float32)
         bc2 = 1 - b2 ** count.astype(jnp.float32)
 
-        def step(m, v, p):
+        def step(m, v, p, decayed):
             denom = (jnp.sqrt(v / bc2) ** hessian_power) + eps
             upd = -lr * (m / bc1) / denom
-            if weight_decay and p is not None:
+            if weight_decay and p is not None and decayed:
                 upd = upd - lr * weight_decay * p
             return upd
 
-        updates = jax.tree.map(step, mu, nu, params if params is not None else mu)
+        tgt = params if params is not None else mu
+        mask_tree = mask if mask is not None else jax.tree.map(lambda _: True, tgt)
+        updates = jax.tree.map(step, mu, nu, tgt, mask_tree)
         return updates, AdaHessianState(mu, nu, count)
 
     return optax.GradientTransformationExtraArgs(init, update)

@@ -89,6 +89,105 @@ def rmsprop_tf(
     )
 
 
+def adafactor_ref(
+    lr: Optional[float] = None,
+    eps: float = 1e-30,
+    eps_scale: float = 1e-3,
+    clip_threshold: float = 1.0,
+    decay_rate: float = -0.8,
+    beta1: Optional[float] = None,
+    weight_decay: float = 0.0,
+    scale_parameter: bool = True,
+    mask: Any = None,
+) -> optax.GradientTransformation:
+    """Adafactor with the reference's vendored fairseq semantics
+    (``MyOptimizer/adafactor.py``), which differ from ``optax.adafactor``:
+
+    - ANY ndim>=2 param is factored (optax only factors dims >= 128);
+    - with an explicit ``lr`` (the factory always passes one) the step is the
+      plain lr — NO multiply-by-parameter-scale (optax applies it regardless);
+    - ``lr=None`` selects the relative-step schedule
+      ``min(1e-2, 1/sqrt(t)) * max(eps_scale, RMS(p))``;
+    - decoupled weight decay ``p -= wd * lr_t * p`` (optax's
+      ``weight_decay_rate`` is unscaled by lr);
+    - beta2 schedule ``1 - t**decay_rate`` with eps added to g**2 BEFORE the
+      factored means.
+
+    ``mask``: pytree of bools selecting which leaves receive weight decay
+    (the reference's add_weight_decay ndim>1 split).
+    """
+
+    def _factored(p) -> bool:
+        return jnp.ndim(p) >= 2
+
+    def _rms(t):
+        return jnp.linalg.norm(t.ravel()) / math.sqrt(t.size)
+
+    def init(params):
+        row = jax.tree.map(
+            lambda p: jnp.zeros(p.shape[:-1], jnp.float32) if _factored(p) else jnp.zeros([], jnp.float32),
+            params,
+        )
+        col = jax.tree.map(
+            lambda p: jnp.zeros(p.shape[:-2] + p.shape[-1:], jnp.float32)
+            if _factored(p)
+            else jnp.zeros([], jnp.float32),
+            params,
+        )
+        v = jax.tree.map(
+            lambda p: jnp.zeros([], jnp.float32) if _factored(p) else jnp.zeros_like(p, jnp.float32),
+            params,
+        )
+        mu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, jnp.float32) if beta1 is not None else jnp.zeros([], jnp.float32),
+            params,
+        )
+        return (jnp.zeros([], jnp.int32), row, col, v, mu)
+
+    def update(grads, state, params=None):
+        if params is None:
+            raise ValueError("adafactor_ref requires params")
+        count, rows, cols, vs, mus = state
+        count = count + 1
+        step = count.astype(jnp.float32)
+        beta2t = 1.0 - step**decay_rate
+        mask_tree = mask if mask is not None else jax.tree.map(lambda _: True, params)
+
+        def leaf(g, p, row, col, v, m, decayed):
+            g = g.astype(jnp.float32)
+            if lr is None:
+                lr_t = jnp.minimum(1e-2, 1.0 / jnp.sqrt(step))
+                if scale_parameter:
+                    lr_t = lr_t * jnp.maximum(eps_scale, _rms(p.astype(jnp.float32)))
+            else:
+                lr_t = lr
+            u = g * g + eps
+            if _factored(p):
+                row = beta2t * row + (1.0 - beta2t) * u.mean(axis=-1)
+                col = beta2t * col + (1.0 - beta2t) * u.mean(axis=-2)
+                r_factor = jax.lax.rsqrt(row / row.mean(axis=-1, keepdims=True))[..., None]
+                c_factor = jax.lax.rsqrt(col)[..., None, :]
+                u = r_factor * c_factor * g
+            else:
+                v = beta2t * v + (1.0 - beta2t) * u
+                u = jax.lax.rsqrt(v) * g
+            u = u / jnp.maximum(1.0, _rms(u) / clip_threshold)
+            u = u * lr_t
+            if beta1 is not None:
+                m = beta1 * m + (1.0 - beta1) * u
+                u = m
+            if weight_decay and decayed:
+                u = u + weight_decay * lr_t * p
+            return (-u).astype(p.dtype), row, col, v, m
+
+        out = jax.tree.map(leaf, grads, params, rows, cols, vs, mus, mask_tree)
+        is_tup = lambda x: isinstance(x, tuple) and len(x) == 5 and not isinstance(x[0], tuple)
+        pick = lambda i: jax.tree.map(lambda t: t[i], out, is_leaf=is_tup)
+        return pick(0), (count, pick(1), pick(2), pick(3), pick(4))
+
+    return optax.GradientTransformation(init, update)
+
+
 class AdamPState(NamedTuple):
     mu: Any
     nu: Any
@@ -345,15 +444,28 @@ def create_optimizer(
             optax.adadelta(lr, rho=0.9, eps=opt_eps if opt_eps is not None else 1e-6),
         )
     elif name == "adafactor":
-        tx = optax.adafactor(lr if lr else None)
+        # reference (fairseq-vendored) semantics, NOT optax.adafactor: explicit
+        # lr disables the parameter-scale multiply, every ndim>=2 leaf is
+        # factored, decoupled wd scaled by lr_t (see adafactor_ref docstring)
+        tx = adafactor_ref(
+            lr if lr else None,
+            eps=opt_eps if opt_eps is not None else 1e-30,
+            beta1=opt_betas[0] if opt_betas else None,
+            weight_decay=weight_decay,
+            mask=mask,
+        )
     elif name == "adahessian":
         from transmil_deepgraft_tpu.train.adahessian import adahessian
 
-        tx = adahessian(lr, betas=betas, eps=eps, weight_decay=weight_decay)
+        tx = adahessian(lr, betas=betas, eps=eps, weight_decay=weight_decay, mask=mask)
     elif name == "rmsprop":
+        # torch.optim.RMSprop semantics: eps OUTSIDE the sqrt (optax's default
+        # rmsprop uses sqrt(nu+eps)), zeros-init RMS, raw momentum buffer
         tx = optax.chain(
             optax.add_decayed_weights(weight_decay, mask=mask) if weight_decay else optax.identity(),
-            optax.rmsprop(lr, decay=0.9, eps=eps, momentum=mom),
+            optax.scale_by_rms(decay=0.9, eps=eps, initial_scale=0.0, eps_in_sqrt=False),
+            optax.trace(decay=mom) if mom else optax.identity(),
+            optax.scale(-lr),
         )
     elif name == "rmsproptf":
         tx = rmsprop_tf(lr, alpha=0.9, momentum=mom, eps=eps, weight_decay=weight_decay)

@@ -307,8 +307,11 @@ class Trainer:
                 one_hot = jax.nn.one_hot(labels, n_classes)
                 loss = loss_fn(logits, one_hot)
                 if sub is not None:  # DTFD tier-1 loss over pseudo-bag predictions
+                    # reference averages the two tiers (model_interface_dtfd.py:268:
+                    # total_loss = (sub_loss + slide_loss)/2); the factor matters for
+                    # coupled-L2 Adam, where it sets the data-grad/weight-decay ratio
                     sub_one_hot = jnp.broadcast_to(one_hot[:1], (sub.shape[0], n_classes))
-                    loss = loss + loss_fn(sub, sub_one_hot)
+                    loss = (loss + loss_fn(sub, sub_one_hot)) / 2.0
                 return loss, logits
 
             (loss, logits), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
