@@ -114,6 +114,22 @@ TORCH_MAKERS = {
     "adafactor": lambda m: _oracle_pair(ReferenceAdafactor, m, WD, lr=LR),
 }
 
+
+def _with_lookahead(base_maker):
+    """The reference's ``lookahead_`` prefix wraps ANY base optimizer
+    (optim_factory.py:120-122, k=6/alpha=0.5); r3 pinned lookahead_radam only —
+    these rows pin the wrapper across different inner dynamics."""
+    from tests.torch_ref.torch_opt import Lookahead
+
+    def make(m):
+        return [Lookahead(base_maker(m)[0], list(m.parameters()))]
+
+    return make
+
+
+TORCH_MAKERS["lookahead_adamw"] = _with_lookahead(TORCH_MAKERS["adamw"])
+TORCH_MAKERS["lookahead_momentum"] = _with_lookahead(TORCH_MAKERS["momentum"])
+
 # per-name tolerance on per-step |loss_torch - loss_jax|: most names track at
 # float32 noise; radam documents optax's eps placement (O(eps)/step); adadelta
 # accumulates two EMAs of squares (rho=0.9) whose update-order noise compounds;

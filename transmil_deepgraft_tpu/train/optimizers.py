@@ -522,9 +522,16 @@ def create_dtfd_optimizer(
 
 def create_optimizer_from_config(optimizer_cfg: Any, params: Any = None, grad_accum_steps: int = 1) -> optax.GradientTransformation:
     """Build from a ``cfg.Optimizer`` section (opt/lr/opt_eps/opt_betas/momentum/weight_decay)."""
+    opt_name = optimizer_cfg.opt or "lookahead_radam"
+    # reference: a falsy lr selects Adafactor's relative-step schedule
+    # (optim_factory.py:86-88); every other name needs a real lr (default 2e-4)
+    if str(opt_name).lower().endswith("adafactor") and not optimizer_cfg.lr:
+        lr = 0.0
+    else:
+        lr = float(optimizer_cfg.lr or 2e-4)
     return create_optimizer(
-        opt=optimizer_cfg.opt or "lookahead_radam",
-        lr=float(optimizer_cfg.lr or 2e-4),
+        opt=opt_name,
+        lr=lr,
         weight_decay=float(optimizer_cfg.weight_decay or 0.0),
         momentum=optimizer_cfg.momentum if optimizer_cfg.momentum else 0.9,
         opt_eps=optimizer_cfg.opt_eps if optimizer_cfg.opt_eps else None,
