@@ -307,3 +307,39 @@ def test_microbatcher_coalesces_same_bucket_requests(tmp_path):
         assert small_l.shape == (1, 3) and np.isfinite(small_l).all()
     finally:
         mb.close()
+
+
+def test_microbatcher_close_fails_pending_futures(tmp_path):
+    """close() must not strand callers: a request deferred to `pending` (its
+    bucket differs from the in-flight coalesce group) when _CLOSE arrives gets
+    a RuntimeError instead of a Future that never resolves."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from transmil_deepgraft_tpu.serving import MicroBatcher
+
+    model = create_model("AttMIL", n_classes=3, in_features=DIM)
+    x = np.zeros((4, 64, DIM), np.float32)
+    variables = jax.device_get(model.init({"params": jax.random.key(0)}, x))
+    path = tmp_path / "head_close.tdx"
+    export_serving_bundle(
+        model, variables, path, model_name="AttMIL", in_features=DIM,
+        buckets=(64, 128), platforms=("cpu",), batch=4,
+    )
+    bundle = ServingBundle.load(path)
+    mb = MicroBatcher(bundle, max_wait_ms=1500.0)
+    rng = np.random.default_rng(3)
+    small = rng.standard_normal((30, DIM)).astype(np.float32)
+    big = rng.standard_normal((100, DIM)).astype(np.float32)
+    mb.predict_logits(small)  # warm/compile outside the timed window
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut_a = ex.submit(mb.predict_logits, small)  # enters the coalesce wait
+        time.sleep(0.25)
+        fut_b = ex.submit(mb.predict_logits, big)  # different pad target -> pending
+        time.sleep(0.25)
+        mb.close()  # dispatcher: dispatch A's group, FAIL B
+        out_a = fut_a.result(timeout=30)
+        assert out_a.shape == (1, 3) and np.isfinite(out_a).all()
+        with pytest.raises(RuntimeError, match="closed before dispatch"):
+            fut_b.result(timeout=30)

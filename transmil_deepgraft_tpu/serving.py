@@ -739,9 +739,30 @@ class MicroBatcher:
         from collections import deque
 
         pending: deque = deque()
+
+        def shutdown(final_group=None):
+            """Dispatch what's in hand, then FAIL every undelivered future —
+            deferred requests and anything still queued behind _CLOSE must not
+            leave their callers blocked on Future.result() forever."""
+            if final_group:
+                self._dispatch(final_group)
+            leftovers = list(pending)
+            while True:
+                try:
+                    it = self._q.get_nowait()
+                except self._queue_mod.Empty:
+                    break
+                if it is not self._CLOSE:
+                    leftovers.append(it)
+            for it in leftovers:
+                fut = it[-1]
+                if not fut.done():
+                    fut.set_exception(RuntimeError("MicroBatcher closed before dispatch"))
+
         while True:
             item = pending.popleft() if pending else self._q.get()
             if item is self._CLOSE:
+                shutdown()
                 return
             key = item[0]
             group = [item]
@@ -763,7 +784,7 @@ class MicroBatcher:
                 except self._queue_mod.Empty:
                     break
                 if nxt is self._CLOSE:
-                    self._dispatch(group)
+                    shutdown(final_group=group)
                     return
                 if nxt[0] == key and len(group) < self.eb:
                     group.append(nxt)
