@@ -316,3 +316,27 @@ def test_adahessian_lockstep_shared_probes():
     deltas = np.abs(np.asarray(t_losses) - np.asarray(j_losses))
     assert deltas.max() <= 5e-5, (deltas, t_losses, j_losses)
     assert np.abs(np.diff(t_losses)).max() > 1e-5
+
+
+def test_novograd_mapping_deviation_quantified():
+    """PARITY deviation 8: the factory maps 'novograd' (timm's experimental
+    double-normalizing variant) to NvNovoGrad semantics. Quantify the gap
+    TORCH-vs-TORCH (timm NovoGrad vs NvNovoGrad oracles on identical runs),
+    and pin that the jax 'novograd' NAME tracks the NvNovoGrad side exactly —
+    so the deviation is a measured, bounded algorithm choice, not an unknown."""
+    from tests.torch_ref.torch_opt import ReferenceTimmNovoGrad
+
+    batches = _batches(STEPS, seed=9)
+    _, timm_losses = _torch_run(
+        batches, lambda m: _oracle_pair(ReferenceTimmNovoGrad, m, WD, lr=LR)
+    )
+    sd0, nv_losses = _torch_run(
+        batches, lambda m: _oracle_pair(ReferenceNvNovoGrad, m, WD, lr=LR)
+    )
+    j_losses = _jax_run(sd0, batches, "novograd")  # the mapped name itself
+    # the mapping is exact against NvNovoGrad semantics
+    assert np.abs(nv_losses - j_losses).max() <= 2e-4
+    # and the deviation from timm's variant is real but bounded (different
+    # normalizer dynamics, same loss scale) — recorded in PARITY.md
+    gap = np.abs(timm_losses - nv_losses).max()
+    assert 1e-6 < gap < 0.2, (gap, timm_losses, nv_losses)

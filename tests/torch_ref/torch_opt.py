@@ -406,3 +406,59 @@ class ReferenceAdaHessian:
     def zero_grad(self) -> None:
         for p in self.params:
             p.grad = None
+
+
+class ReferenceTimmNovoGrad:
+    """timm's EXPERIMENTAL 'novograd' (Kimura impl the reference vendors as
+    ``MyOptimizer/novograd.py``) — the double-normalizing variant its own
+    docstring flags: the gradient is normalized by a per-tensor EMA of its
+    norm FIRST, then the normalized gradient's norm feeds a second moment v,
+    and the momentum accumulates grad/(sqrt(v)+eps) + wd*p with a
+    sqrt(bc2)/bc1 stepsize. Exists purely to QUANTIFY the deviation of our
+    novograd->NvNovoGrad mapping (PARITY deviation 8)."""
+
+    def __init__(self, params, lr: float, betas=(0.95, 0.98), eps: float = 1e-8,
+                 weight_decay: float = 0.0, grad_averaging: bool = False):
+        self.params = [p for p in params if p.requires_grad]
+        self.lr, self.b1, self.b2 = lr, betas[0], betas[1]
+        self.eps, self.wd, self.ga = eps, weight_decay, grad_averaging
+        self.initialized = False
+        self.step_n = 0
+        self.v = [None for _ in self.params]
+        self.m = [None for _ in self.params]
+        self.grad_ema = [None for _ in self.params]
+
+    @torch.no_grad()
+    def step(self) -> None:
+        if not self.initialized:
+            for i, p in enumerate(self.params):
+                if p.grad is None:
+                    continue
+                g = p.grad
+                v = torch.norm(g) ** 2
+                self.v[i] = v
+                self.m[i] = g / (v.sqrt() + self.eps) + self.wd * p
+            self.initialized = True
+        self.step_n += 1
+        for i, p in enumerate(self.params):
+            if p.grad is None:
+                continue
+            g = p.grad.clone()
+            g2 = torch.norm(g) ** 2
+            self.grad_ema[i] = (
+                g2 if self.grad_ema[i] is None
+                else self.grad_ema[i] * self.b2 + g2 * (1 - self.b2)
+            )
+            g = g / (self.grad_ema[i].sqrt() + self.eps)
+            if self.ga:
+                g = g * (1 - self.b1)
+            g2 = torch.norm(g) ** 2
+            self.v[i] = self.b2 * self.v[i] + (1 - self.b2) * g2
+            self.m[i] = self.b1 * self.m[i] + (g / (self.v[i].sqrt() + self.eps) + self.wd * p)
+            bc1 = 1 - self.b1 ** self.step_n
+            bc2 = 1 - self.b2 ** self.step_n
+            p.add_(self.m[i], alpha=-self.lr * (bc2 ** 0.5) / bc1)
+
+    def zero_grad(self) -> None:
+        for p in self.params:
+            p.grad = None
