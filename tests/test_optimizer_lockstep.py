@@ -340,3 +340,42 @@ def test_novograd_mapping_deviation_quantified():
     # normalizer dynamics, same loss scale) — recorded in PARITY.md
     gap = np.abs(timm_losses - nv_losses).max()
     assert 1e-6 < gap < 0.2, (gap, timm_losses, nv_losses)
+
+
+def test_grad_accumulation_lockstep():
+    """``cfg.General.grad_acc`` -> optax.MultiSteps vs Lightning's
+    accumulate_grad_batches (ref ``train.py:199,217``): Lightning scales each
+    micro-batch loss by 1/k and steps every k batches (grads = mean over the
+    window); MultiSteps accumulates the mean gradient and emits zero updates
+    mid-window. Losses must track at EVERY micro-batch (params frozen
+    mid-window on both sides) across several optimizer steps."""
+    K = 3
+    batches = _batches(STEPS, seed=13)  # 12 batches -> 4 optimizer steps
+
+    def torch_accum(model):
+        return [torch.optim.AdamW(_groups(model, WD), lr=LR)]
+
+    torch.manual_seed(0)
+    model = mil_torch.AttMIL(N_CLS, IN_F, OUT_F).eval()
+    sd0 = {k: v.detach().clone() for k, v in model.state_dict().items()}
+    (opt,) = torch_accum(model)
+    t_losses = []
+    opt.zero_grad()
+    for i, (x, y) in enumerate(batches):
+        loss = F.cross_entropy(model(torch.from_numpy(x)), torch.tensor([y]))
+        (loss / K).backward()
+        t_losses.append(loss.item())
+        if (i + 1) % K == 0:
+            opt.step()
+            opt.zero_grad()
+    t_losses = np.asarray(t_losses)
+
+    j_losses = _jax_run(sd0, batches, "adamw", grad_accum_steps=K)
+    deltas = np.abs(t_losses - j_losses)
+    assert deltas.max() <= 5e-5, (deltas, t_losses, j_losses)
+    # the window boundaries must actually step (loss changes after each k-th)
+    assert abs(t_losses[K] - t_losses[0]) > 1e-6
+    # and mid-window the params must NOT move: micro-batches 0..K-1 of the
+    # jax run equal a fresh forward at the initial weights
+    j_frozen = _jax_run(sd0, batches[:K], "sgd", lr=0.0)
+    np.testing.assert_allclose(j_losses[:K], j_frozen, atol=1e-6)
