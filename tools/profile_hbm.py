@@ -69,13 +69,25 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     # ---- programs ---------------------------------------------------------
+    # Init + PTQ calibration run on the HOST CPU backend: over the remote-
+    # compile relay, flax init alone spawns dozens of tiny jit programs
+    # (truncated_normal per layer) that each pay full relay compile latency.
+    # Only the 5 programs under measurement are compiled for the TPU.
+    import contextlib
+
+    try:  # under the axon relay only the TPU backend is registered
+        cpu_ctx = lambda: jax.default_device(jax.devices("cpu")[0])  # noqa: E731
+        jax.devices("cpu")
+    except RuntimeError:
+        cpu_ctx = contextlib.nullcontext
     backbone = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
     calib = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
-    variables = jax.device_get(
-        backbone.init({"params": jax.random.key(0)}, jnp.asarray(calib[:1]))
-    )
-    q = build_qresnet50(variables, calib)
-    tiles = jnp.asarray(rng.standard_normal((CHUNK, 224, 224, 3)).astype(np.float32))
+    with cpu_ctx():
+        variables = jax.device_get(
+            backbone.init({"params": jax.random.key(0)}, jnp.asarray(calib[:1]))
+        )
+        q = jax.device_get(build_qresnet50(variables, calib))
+    tiles = rng.standard_normal((CHUNK, 224, 224, 3)).astype(np.float32)
 
     embed_int8 = jax.jit(apply_qresnet50)
     bf16_vars = jax.tree.map(
@@ -86,8 +98,11 @@ def main() -> None:
     )
 
     head = create_model("TransMIL", n_classes=2, in_features=2048)
-    bag40k = jnp.zeros((1, BAG_40K, 2048), jnp.float32)
-    hv = jax.device_get(head.init({"params": jax.random.key(1)}, jnp.zeros((1, 256, 2048))))
+    bag40k = np.zeros((1, BAG_40K, 2048), np.float32)
+    with cpu_ctx():
+        hv = jax.device_get(
+            head.init({"params": jax.random.key(1)}, jnp.zeros((1, 256, 2048)))
+        )
     head_f32 = jax.jit(lambda v, x: head.apply(v, x))
     head_bf16 = jax.jit(
         lambda v, x: head.apply(
@@ -95,10 +110,12 @@ def main() -> None:
         ).astype(jnp.float32)
     )
 
-    bag_tr = jnp.zeros((1, 1024, 2048), jnp.float32)
-    labels = jnp.zeros((1,), jnp.int32)
+    bag_tr = np.zeros((1, 1024, 2048), np.float32)
+    labels = np.zeros((1,), np.int32)
     tx = create_optimizer(opt="lookahead_radam", lr=2e-4, weight_decay=0.01)
-    opt_state = tx.init(hv["params"])
+    with cpu_ctx():
+        opt_state = jax.device_get(tx.init(hv["params"]))
+        step_key = jax.random.key(2)  # cpu-resident; transfers on use
 
     def train_step(params, opt_state, bags, labels, key):
         def loss_of(p):
@@ -119,7 +136,7 @@ def main() -> None:
         mem_row("transmil_head_40k_f32", head_f32, hv, bag40k),
         mem_row("transmil_head_40k_bf16", head_bf16, hv, bag40k),
         mem_row("transmil_trainstep_bag1024_f32", train_jit,
-                hv["params"], opt_state, bag_tr, labels, jax.random.key(2)),
+                hv["params"], opt_state, bag_tr, labels, step_key),
     ]
 
     # ---- profiler traces --------------------------------------------------
@@ -127,7 +144,7 @@ def main() -> None:
         root = Path(args.trace_dir)
         with trace(root / "train_step"):
             p2, o2, loss = train_jit(hv["params"], opt_state, bag_tr, labels,
-                                     jax.random.key(2))
+                                     step_key)
             jax.block_until_ready(loss)
         with trace(root / "inference_40k"):
             f = embed_int8(q, tiles)
