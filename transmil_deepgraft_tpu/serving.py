@@ -448,52 +448,71 @@ class ServingBundle:
             f"({self.meta['buckets'][-1]}); re-export with larger buckets"
         )
 
-    def _prepare_inputs(
+    def _prepare_one(
         self, feats: np.ndarray, coords: Optional[np.ndarray]
-    ) -> tuple[int, int, tuple]:
-        """Validate + bucket-pad a request: returns (n_real, target, args) where
-        ``args`` are the exported call's inputs after the variables (bags, and
-        coords for coord-aware bundles — grid fallback when none supplied).
-
-        Bags are zero-padded to the serving shape — identical to the trainer's
-        ``eval_pad='bucket'`` policy (data/datamodule.collate)."""
+    ) -> tuple[int, int, np.ndarray, Optional[np.ndarray]]:
+        """The single-bag input contract — ONE source of truth shared by
+        :meth:`_prepare_inputs` (batched predict) and :class:`MicroBatcher`:
+        validate dims, zero-pad to the serving bucket (identical to the
+        trainer's ``eval_pad='bucket'`` policy, data/datamodule.collate), and
+        normalize/synthesize coords for coord-aware bundles. Returns
+        ``(n_real, target, (target, D) feats, (target, 2) coords | None)``."""
         feats = np.asarray(feats, np.float32)
-        if feats.ndim == 2:
-            feats = feats[None]
-        b, n, d = feats.shape
+        if feats.ndim != 2:
+            raise ValueError(f"each bag must be (n, D), got {feats.shape}")
+        n, d = feats.shape
         if d != self.meta["in_features"]:
             raise ValueError(f"expected in_features={self.meta['in_features']}, got {d}")
-        if b != self.meta["batch"]:
-            raise ValueError(f"bundle exported for batch={self.meta['batch']}, got {b}")
         target = self._pad_target(n)
         if target != n:
-            feats = np.concatenate(
-                [feats, np.zeros((b, target - n, d), np.float32)], axis=1
-            )
+            feats = np.concatenate([feats, np.zeros((target - n, d), np.float32)])
         if not self.meta.get("coord_aware"):
             if coords is not None:
                 raise ValueError(
                     "this bundle's head is not coord-aware; re-export from a "
                     "coord-aware head (e.g. RoFormerMIL) to use coords"
                 )
-            return n, target, (feats,)
+            return n, target, feats, None
         from transmil_deepgraft_tpu.data.coords import grid_coords, normalize_pad_coords
 
         if coords is None:
             # grid over the PADDED length: matches both the trainer's staging
             # fallback and what the model itself would synthesize for this
             # padded bag — the bundle reproduces live coord-less eval exactly
-            coords = grid_coords(target, b)
+            coords = grid_coords(target, 1)[0]
         else:
             coords = np.asarray(coords, np.float32)
-            if coords.ndim == 2:
-                coords = coords[None]
-            if coords.shape != (b, n, 2):
-                raise ValueError(f"coords must be ({b}, {n}, 2), got {coords.shape}")
+            if coords.shape != (n, 2):
+                raise ValueError(f"coords must be ({n}, 2), got {coords.shape}")
             # min-normalize then zero-pad (data/coords.py contract: pad rows
             # coincide with the bag min, preserving the head's anchoring)
-            coords = np.stack([normalize_pad_coords(c, target) for c in coords])
-        return n, target, (feats, coords)
+            coords = normalize_pad_coords(coords, target)
+        return n, target, feats, coords
+
+    def _prepare_inputs(
+        self, feats: np.ndarray, coords: Optional[np.ndarray]
+    ) -> tuple[int, int, tuple]:
+        """Validate + bucket-pad a request: returns (n_real, target, args) where
+        ``args`` are the exported call's inputs after the variables (bags, and
+        coords for coord-aware bundles). Per-bag work delegates to
+        :meth:`_prepare_one`."""
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim == 2:
+            feats = feats[None]
+            if coords is not None:
+                coords = np.asarray(coords, np.float32)[None]
+        b, n, d = feats.shape
+        if b != self.meta["batch"]:
+            raise ValueError(f"bundle exported for batch={self.meta['batch']}, got {b}")
+        prepared = [
+            self._prepare_one(feats[i], None if coords is None else coords[i])
+            for i in range(b)
+        ]
+        n_real, target = prepared[0][0], prepared[0][1]
+        out_feats = np.stack([p[2] for p in prepared])
+        if prepared[0][3] is None:
+            return n_real, target, (out_feats,)
+        return n_real, target, (out_feats, np.stack([p[3] for p in prepared]))
 
     def predict_logits(self, feats: np.ndarray, coords: Optional[np.ndarray] = None) -> np.ndarray:
         """(n, D) or (B, n, D) float32 features -> (B, C) logits.

@@ -83,7 +83,10 @@ def adahessian(
             return upd
 
         tgt = params if params is not None else mu
-        mask_tree = mask if mask is not None else jax.tree.map(lambda _: True, tgt)
+        if mask is None:
+            mask_tree = jax.tree.map(lambda _: True, tgt)
+        else:
+            mask_tree = mask(tgt) if callable(mask) else mask
         updates = jax.tree.map(step, mu, nu, tgt, mask_tree)
         return updates, AdaHessianState(mu, nu, count)
 

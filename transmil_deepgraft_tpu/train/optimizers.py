@@ -29,6 +29,21 @@ def weight_decay_mask(params: Any) -> Any:
     return jax.tree.map(lambda p: jnp.ndim(p) > 1, params)
 
 
+def _resolve_mask(mask: Any, params: Any) -> Any:
+    """Mask as a bool pytree: accepts a pytree, a callable (params -> pytree —
+    optax's lazy-mask convention, used when the factory is built before the
+    model is initialized), or None (decay everything)."""
+    if mask is None:
+        return jax.tree.map(lambda _: True, params)
+    return mask(params) if callable(mask) else mask
+
+
+def _invert_mask(mask: Any) -> Any:
+    if callable(mask):
+        return lambda tree: jax.tree.map(lambda b: not b, mask(tree))
+    return jax.tree.map(lambda b: not b, mask)
+
+
 class LookaheadState(NamedTuple):
     inner_state: optax.OptState
     slow_params: Any
@@ -77,12 +92,14 @@ def lookahead_wrap(
 
 
 def rmsprop_tf(
-    lr: float, alpha: float = 0.9, momentum: float = 0.9, eps: float = 1e-10, weight_decay: float = 0.0
+    lr: float, alpha: float = 0.9, momentum: float = 0.9, eps: float = 1e-10,
+    weight_decay: float = 0.0, mask: Any = None,
 ) -> optax.GradientTransformation:
     """TF1-style RMSprop (eps inside sqrt, ones-init RMS) like the reference's
-    vendored ``rmsprop_tf.py``."""
+    vendored ``rmsprop_tf.py``. ``mask`` selects the decayed leaves (the
+    factory's add_weight_decay ndim>1 split)."""
     return optax.chain(
-        optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+        optax.add_decayed_weights(weight_decay, mask=mask) if weight_decay else optax.identity(),
         optax.scale_by_rms(decay=alpha, eps=eps, initial_scale=1.0, eps_in_sqrt=True),
         optax.trace(decay=momentum) if momentum else optax.identity(),
         optax.scale(-lr),
@@ -151,7 +168,7 @@ def adafactor_ref(
         count = count + 1
         step = count.astype(jnp.float32)
         beta2t = 1.0 - step**decay_rate
-        mask_tree = mask if mask is not None else jax.tree.map(lambda _: True, params)
+        mask_tree = _resolve_mask(mask, params)
 
         def leaf(g, p, row, col, v, m, decayed):
             g = g.astype(jnp.float32)
@@ -234,13 +251,16 @@ def adamp(
     delta: float = 0.1,
     wd_ratio: float = 0.01,
     nesterov: bool = True,
+    mask: Any = None,
 ) -> optax.GradientTransformation:
     """AdamP (Heo 2021): Adam with updates projected off the radial direction
     for >1-d params, exactly as the reference configures it
     (``MyOptimizer/optim_factory.py:81``: wd_ratio=0.01, nesterov=True;
     ``MyOptimizer/adamp.py`` semantics: denom = sqrt(v)/sqrt(bc2) + eps,
     step = lr/bc1 * perturb, multiplicative weight decay scaled by the
-    projection's wd_ratio). Lockstep-tested vs a torch oracle."""
+    projection's wd_ratio). ``mask`` selects decayed leaves (the reference
+    factory's add_weight_decay groups give 1-d params wd=0). Lockstep-tested
+    vs a torch oracle."""
     b1, b2 = betas
 
     def init(params):
@@ -253,21 +273,22 @@ def adamp(
         nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
         bc1 = 1 - b1 ** count.astype(jnp.float32)
         bc2 = 1 - b2 ** count.astype(jnp.float32)
+        mask_tree = _resolve_mask(mask, params)
 
-        def apply_one(p, m, v, g):
+        def apply_one(p, m, v, g, decayed):
             denom = jnp.sqrt(v / bc2) + eps
             perturb = ((b1 * m + (1 - b1) * g) if nesterov else m) / denom
             ratio = 1.0
             if p.ndim > 1:
                 perturb, ratio = _adamp_projection(p, g, perturb, delta, wd_ratio, eps)
             new = -(lr / bc1) * perturb
-            if weight_decay:
+            if weight_decay and decayed:
                 # official: p *= (1 - lr*wd*ratio) BEFORE the step — additively
                 # exact since the perturbation is computed from the undecayed p
                 new = new - lr * weight_decay * ratio * p
             return new
 
-        updates = jax.tree.map(apply_one, params, mu, nu, grads)
+        updates = jax.tree.map(apply_one, params, mu, nu, grads, mask_tree)
         return updates, AdamPState(mu, nu, count)
 
     return optax.GradientTransformation(init, update)
@@ -286,6 +307,7 @@ def sgdp(
     delta: float = 0.1,
     wd_ratio: float = 0.1,
     dampening: float = 0.0,
+    mask: Any = None,
 ) -> optax.GradientTransformation:
     """SGDP (Heo 2021): momentum SGD with the radial projection, the FULL
     official algorithm (``MyOptimizer/sgdp.py``; was an approximation before
@@ -300,18 +322,19 @@ def sgdp(
         bufs = jax.tree.map(
             lambda b, g: momentum * b + (1.0 - dampening) * g, state.momentum, grads
         )
+        mask_tree = _resolve_mask(mask, params)
 
-        def apply_one(p, buf, g):
+        def apply_one(p, buf, g, decayed):
             d_p = (g + momentum * buf) if nesterov else buf
             ratio = 1.0
             if p.ndim > 1:
                 d_p, ratio = _adamp_projection(p, g, d_p, delta, wd_ratio, eps)
             new = -lr * d_p
-            if weight_decay:
+            if weight_decay and decayed:
                 new = new - (lr * weight_decay * ratio / (1.0 - momentum)) * p
             return new
 
-        updates = jax.tree.map(apply_one, params, bufs, grads)
+        updates = jax.tree.map(apply_one, params, bufs, grads, mask_tree)
         return updates, SGDPState(momentum=bufs)
 
     return optax.GradientTransformation(init, update)
@@ -384,10 +407,12 @@ def create_optimizer(
 ) -> optax.GradientTransformation:
     """Build an optax optimizer from config fields (``cfg.Optimizer``).
 
-    ``lookahead_`` prefix wraps the base optimizer; weight decay is masked to
-    >1-d params when ``params`` is provided (ref ``add_weight_decay``).
-    ``grad_accum_steps > 1`` wraps the result in ``optax.MultiSteps`` (the
-    reference's Lightning ``accumulate_grad_batches``).
+    ``lookahead_`` prefix wraps the base optimizer; weight decay is ALWAYS
+    masked to >1-d params (ref ``add_weight_decay``, applied for every
+    optimizer name when wd != 0): eagerly when ``params`` is provided, else
+    lazily via optax's callable-mask convention (resolved against the real
+    params at the first update). ``grad_accum_steps > 1`` wraps the result in
+    ``optax.MultiSteps`` (the reference's Lightning ``accumulate_grad_batches``).
     """
     opt_lower = opt.lower()
     parts = opt_lower.split("_")
@@ -400,7 +425,7 @@ def create_optimizer(
     eps = opt_eps if opt_eps is not None else 1e-8
     betas = tuple(opt_betas) if opt_betas else (0.9, 0.999)
     mom = momentum if momentum is not None else 0.9
-    mask = weight_decay_mask(params) if params is not None else None
+    mask = weight_decay_mask(params) if params is not None else weight_decay_mask
 
     def wd_kwargs():
         return {"weight_decay": weight_decay, "mask": mask} if weight_decay else {"weight_decay": 0.0}
@@ -433,9 +458,9 @@ def create_optimizer(
             optax.radam(lr, b1=betas[0], b2=betas[1], eps=eps),
         )
     elif name == "adamp":
-        tx = adamp(lr, betas=betas, eps=eps, weight_decay=weight_decay)
+        tx = adamp(lr, betas=betas, eps=eps, weight_decay=weight_decay, mask=mask)
     elif name == "sgdp":
-        tx = sgdp(lr, momentum=mom, weight_decay=weight_decay, eps=eps)
+        tx = sgdp(lr, momentum=mom, weight_decay=weight_decay, eps=eps, mask=mask)
     elif name == "adadelta":
         # torch.optim.Adadelta defaults: rho=0.9, eps=1e-6 (NOT the adam 1e-8);
         # coupled L2 weight decay masked like the reference's param groups
@@ -468,14 +493,29 @@ def create_optimizer(
             optax.scale(-lr),
         )
     elif name == "rmsproptf":
-        tx = rmsprop_tf(lr, alpha=0.9, momentum=mom, eps=eps, weight_decay=weight_decay)
+        tx = rmsprop_tf(lr, alpha=0.9, momentum=mom, eps=eps, weight_decay=weight_decay, mask=mask)
     elif name in ("novograd", "nvnovograd"):
         # optax.novograd == the reference's NvNovoGrad update (per-tensor nu,
         # first-step nu init to ||g||^2); 'novograd' (timm's experimental
         # double-normalizing variant) maps here too — deviation pinned in
         # PARITY.md. Reference default betas for these names are (0.95, 0.98).
+        # wd lives inside the novograd update (added post-normalization), so
+        # the add_weight_decay 1-d exemption is expressed as two disjoint
+        # masked instances (decayed / undecayed leaves — states are per-leaf).
         nb = tuple(opt_betas) if opt_betas else (0.95, 0.98)
-        tx = optax.novograd(lr, b1=nb[0], b2=nb[1], eps=eps, weight_decay=weight_decay)
+        if weight_decay:
+            tx = optax.chain(
+                optax.masked(
+                    optax.novograd(lr, b1=nb[0], b2=nb[1], eps=eps, weight_decay=weight_decay),
+                    mask,
+                ),
+                optax.masked(
+                    optax.novograd(lr, b1=nb[0], b2=nb[1], eps=eps, weight_decay=0.0),
+                    _invert_mask(mask),
+                ),
+            )
+        else:
+            tx = optax.novograd(lr, b1=nb[0], b2=nb[1], eps=eps, weight_decay=0.0)
     elif name == "lamb":
         tx = optax.lamb(lr, b1=betas[0], b2=betas[1], eps=eps, **wd_kwargs())
     else:
