@@ -174,18 +174,15 @@ def test_topk_minmax_scores():
 
 def test_lr_scale_plumbing():
     """ReduceLROnPlateau state surgery: find/replace the lr_scale leaf in the
-    full chained optimizer state."""
-    from transmil_deepgraft_tpu.train.trainer import (
-        _get_lr_scale,
-        _set_lr_scale,
-        mutable_lr_scale,
-    )
+    optimizer state. For lookahead optimizers the scale is embedded INSIDE the
+    wrap by create_optimizer (the reference scheduler scales timm Lookahead's
+    inner param_groups, never the sync interpolation), so: (a) non-sync updates
+    scale linearly, (b) the sync step still lands fast params exactly at
+    slow + alpha * (fast - slow) regardless of the scale."""
+    from transmil_deepgraft_tpu.train.trainer import _get_lr_scale, _set_lr_scale
 
     params = {"w": jnp.ones((4, 4))}
-    tx = optax.chain(
-        create_optimizer(opt="lookahead_radam", lr=1e-2, weight_decay=0.01, params=params),
-        mutable_lr_scale(),
-    )
+    tx = create_optimizer(opt="lookahead_radam", lr=1e-2, weight_decay=0.01, params=params)
     state = tx.init(params)
     assert _get_lr_scale(state) == 1.0
     state = _set_lr_scale(state, 0.25)
@@ -194,6 +191,32 @@ def test_lr_scale_plumbing():
     u_scaled, _ = tx.update(g, state, params)
     state_full = _set_lr_scale(state, 1.0)
     u_full, _ = tx.update(g, state_full, params)
+    # step 1 is not a sync step (k=6): inner update is linear in the scale
     np.testing.assert_allclose(
-        np.asarray(u_scaled["w"]), np.asarray(u_full["w"]) * 0.25, rtol=1e-5
+        np.asarray(u_scaled["w"]), np.asarray(u_full["w"]) * 0.25,
+        rtol=1e-5, atol=1e-7,
     )
+
+    # sync-step invariant: run 6 steps at scale 0.25; after the 6th (sync)
+    # step, params must equal slow0 + 0.5 * (fast_after_6 - slow0), where
+    # fast_after_6 comes from the scaled INNER trajectory — i.e. the
+    # interpolation itself is exact, not multiplied by the scale
+    rng = np.random.default_rng(3)
+    grads = [
+        {"w": jnp.asarray(rng.standard_normal((4, 4)).astype(np.float32))}
+        for _ in range(6)
+    ]
+    p = {"w": jnp.ones((4, 4))}
+    st = _set_lr_scale(tx.init(p), 0.25)
+    inner = create_optimizer(opt="radam", lr=1e-2, weight_decay=0.01, params=p)
+    st_inner = inner.init(p)
+    p_inner = {"w": jnp.ones((4, 4))}
+    for gi in grads:
+        u, st = tx.update(gi, st, p)
+        p = optax.apply_updates(p, u)
+        ui, st_inner = inner.update(gi, st_inner, p_inner)
+        p_inner = optax.apply_updates(
+            p_inner, jax.tree.map(lambda x: x * 0.25, ui)
+        )
+    expected = 1.0 + 0.5 * (np.asarray(p_inner["w"]) - 1.0)  # slow0 == ones
+    np.testing.assert_allclose(np.asarray(p["w"]), expected, rtol=1e-5, atol=1e-7)

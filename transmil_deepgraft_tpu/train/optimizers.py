@@ -44,6 +44,29 @@ def _invert_mask(mask: Any) -> Any:
     return jax.tree.map(lambda b: not b, mask)
 
 
+def mutable_lr_scale() -> optax.GradientTransformation:
+    """Final update scaling whose state the trainer mutates on val-loss plateau
+    (the optax-side of torch ReduceLROnPlateau, ref ``model_interface.py:873``).
+
+    Placement matters for lookahead: the reference's scheduler scales the
+    INNER optimizer's lr (timm ``Lookahead`` exposes the inner param_groups),
+    so ``create_optimizer`` chains this INSIDE ``lookahead_wrap`` — scaling the
+    post-sync interpolation jump instead would both deviate from the reference
+    and break the "fast params land exactly at slow + alpha*(fast-slow)"
+    invariant whenever lr_scale != 1 (tests/test_composed_fit_parity.py)."""
+
+    def init(params):
+        del params
+        return {"lr_scale": jnp.ones([], jnp.float32)}
+
+    def update(updates, state, params=None):
+        del params
+        scale = state["lr_scale"]
+        return jax.tree.map(lambda u: u * scale, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 class LookaheadState(NamedTuple):
     inner_state: optax.OptState
     slow_params: Any
@@ -522,7 +545,10 @@ def create_optimizer(
         raise KeyError(f"unknown optimizer '{opt}'")
 
     if use_lookahead:
-        tx = lookahead_wrap(tx)
+        # the trainer's plateau lr_scale must scale the INNER optimizer's
+        # update, not the lookahead sync jump (see mutable_lr_scale docstring);
+        # the Trainer detects the embedded scale and skips adding its own
+        tx = lookahead_wrap(optax.chain(tx, mutable_lr_scale()))
     if grad_accum_steps and grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx

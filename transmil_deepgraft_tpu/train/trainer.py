@@ -102,22 +102,38 @@ class TrainerConfig:
     # ROC/PR rendered every val epoch, train confusion every 10 train epochs,
     # under <log_dir>/figures/
     epoch_figures: bool = True
+    # run the TRAIN forward with dropout/shuffle disabled (deterministic=True).
+    # Off by default (the reference trains with dropout on); used by the
+    # composed fit-vs-fit parity experiment (tests/test_composed_fit_parity.py)
+    # where torch's and flax's dropout masks cannot be shared across frameworks
+    train_deterministic: bool = False
 
 
-def mutable_lr_scale() -> optax.GradientTransformation:
-    """Final update scaling whose state the trainer mutates on val-loss plateau
-    (the optax-side of ReduceLROnPlateau)."""
+# canonical definition lives in optimizers.py (create_optimizer embeds it
+# inside lookahead_wrap so plateau reductions scale the inner update, like the
+# reference scheduler scaling timm Lookahead's inner param_groups); re-exported
+# here because tests and older callers import it from the trainer
+from transmil_deepgraft_tpu.train.optimizers import mutable_lr_scale  # noqa: E402
 
-    def init(params):
-        del params
-        return {"lr_scale": jnp.ones([], jnp.float32)}
 
-    def update(updates, state, params=None):
-        del params
-        scale = state["lr_scale"]
-        return jax.tree.map(lambda u: u * scale, updates), state
+def _contains_lr_scale(tx: optax.GradientTransformation) -> bool:
+    """Probe whether ``tx``'s state already carries a mutable lr_scale leaf
+    (create_optimizer embeds one under lookahead_wrap). Probed on a tiny dummy
+    tree; transforms whose init cannot run on it (e.g. multi_transform with
+    name-keyed labels) report False and get the trainer's outer scale."""
+    try:
+        state = tx.init({"p": jnp.zeros((2, 2), jnp.float32)})
+    except Exception:
+        return False
+    found: list[float] = []
 
-    return optax.GradientTransformation(init, update)
+    def visit(node):
+        if isinstance(node, dict) and set(node.keys()) == {"lr_scale"}:
+            found.append(1.0)
+        return None
+
+    _tree_replace(state, visit)
+    return bool(found)
 
 
 def _set_lr_scale(opt_state: Any, value: float) -> Any:
@@ -172,7 +188,11 @@ class Trainer:
     ) -> None:
         self.needs_hessian = needs_hessian
         self.model = model
-        self.tx = optax.chain(tx, mutable_lr_scale())
+        # lookahead optimizers from create_optimizer already embed the scale
+        # INSIDE the wrap (reference semantics: the scheduler scales the inner
+        # optimizer's lr); everything else gets the outer final-update scale,
+        # equivalent for lr-linear updates
+        self.tx = tx if _contains_lr_scale(tx) else optax.chain(tx, mutable_lr_scale())
         self.dm = datamodule
         self.n_classes = n_classes
         self.loss_fn = loss_fn
@@ -296,13 +316,15 @@ class Trainer:
         n_classes = self.n_classes
         tx = self.tx
 
+        train_det = self.cfg.train_deterministic
+
         def step_impl(params, model_state, opt_state, bags, coords, labels, rng):
             drop_rng, shuffle_rng, hess_rng = jax.random.split(rng, 3)
             rngs = {"dropout": drop_rng, "shuffle": shuffle_rng}
 
             def loss_of(p):
                 logits, sub = self._forward_logits(
-                    p, model_state, bags, rngs, deterministic=False, coords=coords
+                    p, model_state, bags, rngs, deterministic=train_det, coords=coords
                 )
                 one_hot = jax.nn.one_hot(labels, n_classes)
                 loss = loss_fn(logits, one_hot)
