@@ -57,7 +57,12 @@ def _chained_time(fn, *args, iters, reps=4):
     return sorted((t - rtt) / iters for t in totals)
 
 
-def main() -> None:
+def measure() -> dict:
+    """Run the headline measurement; return per-segment reps (seconds).
+
+    ``embed_reps`` are whole-slide embed times (per-chunk time x BAG/CHUNK),
+    ``head_reps`` are TransMIL forward times on the full 40,960-feature bag —
+    both RTT-corrected and sorted fastest-first (see module docstring)."""
     from transmil_deepgraft_tpu.models import create_model
     from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
     from transmil_deepgraft_tpu.models.resnet_int8 import apply_qresnet50, build_qresnet50
@@ -95,6 +100,12 @@ def main() -> None:
     # Per-rep slides/s: pair rep i of each stage (both sorted fastest-first), so
     # min/median/max of the combined list bracket the run-to-run spread.
     rates = sorted(1.0 / (e + h) for e, h in zip(embed_reps, head_reps))
+    return {"embed_reps": embed_reps, "head_reps": head_reps, "rates": rates}
+
+
+def main() -> None:
+    m = measure()
+    rates = m["rates"]
     median = rates[len(rates) // 2]
     print(
         json.dumps(

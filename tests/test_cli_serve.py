@@ -343,3 +343,142 @@ def test_microbatcher_close_fails_pending_futures(tmp_path):
         assert out_a.shape == (1, 3) and np.isfinite(out_a).all()
         with pytest.raises(RuntimeError, match="closed before dispatch"):
             fut_b.result(timeout=30)
+
+
+def test_microbatcher_queue_bound_sheds(tmp_path):
+    """Overload back-pressure (VERDICT r4 item 5): with the dispatcher blocked
+    (device lock held), admissions beyond max_queue raise QueueFullError
+    immediately instead of growing the queue; once the device frees, the
+    admitted requests complete, depth returns to 0, and new requests are
+    accepted again — bounded latency + clean recovery."""
+    from transmil_deepgraft_tpu.serving import MicroBatcher, QueueFullError
+
+    model = create_model("AttMIL", n_classes=3, in_features=DIM)
+    x = np.zeros((1, 64, DIM), np.float32)
+    variables = jax.device_get(model.init({"params": jax.random.key(0)}, x))
+    path = tmp_path / "head_shed.tdx"
+    export_serving_bundle(
+        model, variables, path, model_name="AttMIL", in_features=DIM,
+        buckets=(64,), platforms=("cpu",),
+    )
+    bundle = ServingBundle.load(path)
+
+    device_lock = threading.Lock()
+    mb = MicroBatcher(bundle, max_wait_ms=1.0, device_lock=device_lock,
+                      max_queue=2)
+    rng = np.random.default_rng(11)
+    bag = rng.standard_normal((30, DIM)).astype(np.float32)
+    try:
+        mb.predict_logits(bag)  # warm/compile before blocking the device
+        assert mb.queue_depth == 0
+
+        device_lock.acquire()  # simulate a slow chip: dispatcher blocks
+        try:
+            f1 = mb._enqueue(bag, None)
+            f2 = mb._enqueue(bag, None)
+            import time as _t
+            deadline = _t.monotonic() + 5
+            while mb.queue_depth < 2 and _t.monotonic() < deadline:
+                _t.sleep(0.01)
+            assert mb.queue_depth == 2
+            with pytest.raises(QueueFullError) as ei:
+                mb._enqueue(bag, None)
+            assert ei.value.retry_after_s > 0
+            assert ei.value.max_queue == 2
+        finally:
+            device_lock.release()
+        # the two admitted requests complete with correct shapes
+        for f in (f1, f2):
+            out = f.result(timeout=30)
+            assert out.shape == (3,) and np.isfinite(out).all()
+        # slots released: depth drains to 0 and admission works again
+        import time as _t
+        deadline = _t.monotonic() + 5
+        while mb.queue_depth and _t.monotonic() < deadline:
+            _t.sleep(0.01)
+        assert mb.queue_depth == 0
+        out = mb.predict_logits(bag)
+        assert out.shape == (1, 3)
+    finally:
+        mb.close()
+
+
+def test_server_sheds_503_with_retry_after(tmp_path):
+    """HTTP-level overload: with max_queue=1 and a slowed device call,
+    concurrent /predict clients get a mix of 200s and 503s (with Retry-After
+    + queue_depth), /health reports the live depth fields, and the server
+    recovers to all-200 after the burst."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from transmil_deepgraft_tpu.cli.serve import make_server
+
+    model = create_model("AttMIL", n_classes=3, in_features=DIM)
+    x = np.zeros((1, 64, DIM), np.float32)
+    variables = jax.device_get(model.init({"params": jax.random.key(0)}, x))
+    path = tmp_path / "head_shed_http.tdx"
+    export_serving_bundle(
+        model, variables, path, model_name="AttMIL", in_features=DIM,
+        buckets=(64,), platforms=("cpu",),
+    )
+    bundle = ServingBundle.load(path)
+    bundle.predict_logits(np.zeros((30, DIM), np.float32))  # pre-compile
+
+    orig = bundle._call_for
+
+    def slow(key):
+        fn = orig(key)
+
+        def wrapped(*a):
+            import time as _t
+            _t.sleep(0.25)
+            return fn(*a)
+
+        return wrapped
+
+    bundle._call_for = slow
+    srv = make_server(bundle, "127.0.0.1", 0, max_queue=1)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    port = srv.server_address[1]
+    try:
+        body = json.dumps(
+            {"features": np.zeros((30, DIM), np.float32).tolist()}
+        )
+
+        def call(_):
+            status, doc, headers = _request_with_headers(port, "POST", "/predict", body)
+            return status, doc, headers
+
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            results = list(ex.map(call, range(6)))
+        statuses = [s for s, _, _ in results]
+        assert 200 in statuses, statuses  # admitted work completes
+        assert 503 in statuses, statuses  # overload sheds, not queues
+        for s, doc, headers in results:
+            if s == 503:
+                assert "Retry-After" in headers and int(headers["Retry-After"]) >= 1
+                assert doc["queue_depth"] >= 1
+                assert "retry_after_s" in doc
+
+        # /health exposes the depth fields (VERDICT item 5)
+        status, doc = _request(port, "GET", "/health")
+        assert status == 200
+        assert doc["max_queue"] == 1 and "queue_depth" in doc
+
+        # after the burst drains the server accepts again
+        status, doc = _request(port, "POST", "/predict", body)
+        assert status == 200 and len(doc["logits"]) == 1
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def _request_with_headers(port, method, path, body=None, ctype="application/json"):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    headers = {"Content-Type": ctype} if body is not None else {}
+    conn.request(method, path, body=body, headers=headers)
+    r = conn.getresponse()
+    out = json.loads(r.read())
+    hdrs = dict(r.getheaders())
+    conn.close()
+    return r.status, out, hdrs

@@ -45,6 +45,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--warmup", action="store_true",
                    help="compile every bucket before accepting requests")
+    p.add_argument("--max_queue", type=int, default=128,
+                   help="pending-request bound: beyond it /predict sheds with "
+                        "503 + Retry-After instead of growing latency")
     return p
 
 
@@ -152,22 +155,25 @@ class _Metrics:
             return "\n".join(lines) + "\n"
 
 
-def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
-    from transmil_deepgraft_tpu.serving import MicroBatcher
+def make_server(bundle, host: str, port: int,
+                max_queue: int = 128) -> ThreadingHTTPServer:
+    from transmil_deepgraft_tpu.serving import MicroBatcher, QueueFullError
 
     # one device lock shared by the micro-batch dispatcher and the slide /
     # attention paths: device dispatch stays serialized (one chip), host-side
     # decode/validation runs concurrently on handler threads
     lock = threading.Lock()
-    batcher = MicroBatcher(bundle, device_lock=lock)
+    batcher = MicroBatcher(bundle, device_lock=lock, max_queue=max_queue)
     metrics = _Metrics()
 
     class Handler(BaseHTTPRequestHandler):
-        def _send(self, code: int, payload: dict) -> None:
+        def _send(self, code: int, payload: dict, headers: dict | None = None) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -176,11 +182,14 @@ def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
 
         def do_GET(self):
             if self.path == "/health":
+                depth = batcher.queue_depth
                 self._send(200, {
-                    "status": "ok",
+                    "status": "overloaded" if depth >= batcher.max_queue else "ok",
                     "model": bundle.meta.get("model_name"),
                     "mode": bundle.meta.get("mode"),
                     "buckets": bundle.meta.get("buckets"),
+                    "queue_depth": depth,
+                    "max_queue": batcher.max_queue,
                 })
             elif self.path == "/meta":
                 self._send(200, bundle.meta)
@@ -247,13 +256,30 @@ def make_server(bundle, host: str, port: int) -> ThreadingHTTPServer:
                     })
                 else:
                     self._send(200, _predict(batcher, arr, coords))
+            except QueueFullError as e:
+                # back-pressure shed: bounded latency beats unbounded queueing
+                status = 503
+                self._send(503, {
+                    "error": str(e),
+                    "queue_depth": e.depth,
+                    "retry_after_s": e.retry_after_s,
+                }, headers={"Retry-After": str(int(e.retry_after_s + 0.999))})
             except Exception as e:  # noqa: BLE001 - surface as HTTP 400
                 status = 400
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
             finally:
                 metrics.observe(self.path, status, time.perf_counter() - t0)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # shedding is an APPLICATION policy (503 + Retry-After): connects must
+        # reach a handler thread to be answered. socketserver's default listen
+        # backlog of 5 lets a concurrent-connect burst overflow the kernel
+        # accept queue, which (under syncookies) RSTs established connections
+        # mid-request instead of letting the app shed cleanly.
+        request_queue_size = 128
+        daemon_threads = True
+
+    return Server((host, port), Handler)
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -263,7 +289,7 @@ def main(argv: list[str] | None = None) -> dict:
     bundle = ServingBundle.load(args.bundle)
     if args.warmup:
         warmup(bundle)
-    srv = make_server(bundle, args.host, args.port)
+    srv = make_server(bundle, args.host, args.port, max_queue=args.max_queue)
     meta = {"model": bundle.meta.get("model_name"), "host": args.host,
             "port": srv.server_address[1]}
     print(json.dumps({**meta, "status": "serving"}), flush=True)

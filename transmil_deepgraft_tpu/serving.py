@@ -509,6 +509,15 @@ class ServingBundle:
             for i in range(b)
         ]
         n_real, target = prepared[0][0], prepared[0][1]
+        # rectangular-input invariant: the (B, n, D) ndarray guarantees one
+        # shared real length today, and predict_logits_with_attention strips
+        # padding with the single n — guard it so future ragged/list input
+        # support can't silently mis-strip (ADVICE r4)
+        if any(p[0] != n_real or p[1] != target for p in prepared[1:]):
+            raise ValueError(
+                "all bags in one batched call must share a real length/bucket; "
+                "send ragged bags as separate requests (MicroBatcher coalesces them)"
+            )
         out_feats = np.stack([p[2] for p in prepared])
         if prepared[0][3] is None:
             return n_real, target, (out_feats,)
@@ -655,6 +664,21 @@ class ServingBundle:
         return e / e.sum(), scores
 
 
+class QueueFullError(RuntimeError):
+    """MicroBatcher admission control: the pending-request queue is at its
+    configured bound; the caller should shed (HTTP 503 + Retry-After) rather
+    than let latency grow without limit (VERDICT r4 item 5)."""
+
+    def __init__(self, depth: int, max_queue: int, retry_after_s: float) -> None:
+        super().__init__(
+            f"serving queue full ({depth}/{max_queue} pending); retry in "
+            f"~{retry_after_s:.1f}s"
+        )
+        self.depth = depth
+        self.max_queue = max_queue
+        self.retry_after_s = retry_after_s
+
+
 class MicroBatcher:
     """Cross-request micro-batching for a :class:`ServingBundle` under
     concurrent load (VERDICT r3 item 5: the serving daemon previously wrapped
@@ -680,13 +704,19 @@ class MicroBatcher:
     _CLOSE = object()
 
     def __init__(self, bundle: "ServingBundle", max_wait_ms: float = 2.0,
-                 device_lock=None) -> None:
+                 device_lock=None, max_queue: int = 128) -> None:
         import queue as _queue
         import threading
 
         self.bundle = bundle
         self.eb = int(bundle.meta.get("batch", 1))
         self.max_wait_s = max_wait_ms / 1e3
+        # back-pressure bound: requests admitted (enqueued or in flight) but
+        # not yet answered; at the bound _enqueue raises QueueFullError so the
+        # server sheds instead of growing client latency without limit
+        self.max_queue = int(max_queue)
+        self._depth = 0
+        self._depth_lock = threading.Lock()
         self._q: "_queue.Queue" = _queue.Queue()
         self._queue_mod = _queue
         # serializes device use with OTHER device users (e.g. the daemon's
@@ -694,6 +724,16 @@ class MicroBatcher:
         self._device_lock = device_lock or threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+
+    @property
+    def queue_depth(self) -> int:
+        """Requests admitted but not yet answered (queued + in dispatch)."""
+        with self._depth_lock:
+            return self._depth
+
+    def _release(self, k: int = 1) -> None:
+        with self._depth_lock:
+            self._depth -= k
 
     # ------------------------------------------------------------- public API
     def predict_logits(self, feats: np.ndarray,
@@ -723,29 +763,27 @@ class MicroBatcher:
 
     # ---------------------------------------------------------------- internal
     def _enqueue(self, feats: np.ndarray, coords):
-        """Validate + bucket-pad ON THE REQUEST THREAD; returns a Future."""
+        """Admission-check, then validate + bucket-pad ON THE REQUEST THREAD
+        via the bundle's single-bag contract (:meth:`ServingBundle._prepare_one`
+        — one source of truth with the batched predict path); returns a Future."""
         from concurrent.futures import Future
 
-        n, d = feats.shape
-        if d != self.bundle.meta["in_features"]:
-            raise ValueError(
-                f"expected in_features={self.bundle.meta['in_features']}, got {d}"
-            )
-        target = self.bundle._pad_target(n)
-        if target != n:
-            feats = np.concatenate([feats, np.zeros((target - n, d), np.float32)])
-        if self.bundle.meta.get("coord_aware"):
-            from transmil_deepgraft_tpu.data.coords import grid_coords, normalize_pad_coords
-
-            if coords is None:
-                coords = grid_coords(target, 1)[0]
-            else:
-                coords = np.asarray(coords, np.float32)
-                if coords.shape != (n, 2):
-                    raise ValueError(f"coords must be ({n}, 2), got {coords.shape}")
-                coords = normalize_pad_coords(coords, target)
-        elif coords is not None:
-            raise ValueError("this bundle's head is not coord-aware")
+        # admit BEFORE the (allocation-heavy) pad work: at the bound the
+        # request sheds cheaply; the slot is released when its future resolves
+        with self._depth_lock:
+            if self._depth >= self.max_queue:
+                raise QueueFullError(
+                    self._depth, self.max_queue,
+                    # rough drain estimate: pending dispatches at the coalesce
+                    # window each (the device time itself is bundle-dependent)
+                    retry_after_s=max(1.0, self._depth * self.max_wait_s),
+                )
+            self._depth += 1
+        try:
+            _, target, feats, coords = self.bundle._prepare_one(feats, coords)
+        except BaseException:
+            self._release()
+            raise
         fut: Future = Future()
         call_key = "symbolic" if self.bundle.meta["mode"] == "symbolic" else str(target)
         # group key includes target: symbolic bundles share one exported call
@@ -777,6 +815,7 @@ class MicroBatcher:
                 fut = it[-1]
                 if not fut.done():
                     fut.set_exception(RuntimeError("MicroBatcher closed before dispatch"))
+            self._release(len(leftovers))
 
         while True:
             item = pending.popleft() if pending else self._q.get()
@@ -836,3 +875,5 @@ class MicroBatcher:
             for _, _, _, _, fut in group:
                 if not fut.done():
                     fut.set_exception(e)
+        finally:
+            self._release(len(group))
