@@ -57,12 +57,27 @@ def make_dataset(n_bags: int = 24, bag: int = 16, feat: int = 24, n_classes: int
     return x, y
 
 
-def run_training(mesh, out_dir: str | None = None, steps: int = 6, batch: int = 4):
+def run_training(
+    mesh,
+    out_dir: str | None = None,
+    steps: int = 6,
+    batch: int = 4,
+    start_step: int = 0,
+    resume_from: str | None = None,
+    save_state_path: str | None = None,
+):
     """Train AttMIL for ``steps`` steps; returns (losses, eval_logits, params).
 
     ``mesh=None`` -> plain single-device jit (the oracle). With a mesh the
     batch shards over ``dp`` across every process and params replicate; the
     gradient mean runs as a GSPMD psum across the process-spanning mesh.
+
+    World-size-resize resume (VERDICT r4 item 7): ``save_state_path`` writes
+    the FULL training state (params + opt_state) from process 0;
+    ``resume_from`` restores it before stepping, and ``start_step`` continues
+    the data order where the previous world left off — so a run checkpointed
+    at dp=4/2-process can be resumed at dp=2/1-process (or single-device) and
+    the trajectory compared step-for-step.
     """
     import jax
     import jax.numpy as jnp
@@ -81,6 +96,12 @@ def run_training(mesh, out_dir: str | None = None, steps: int = 6, batch: int = 
     params = model.init({"params": jax.random.key(0)}, jnp.asarray(x[:1]))["params"]
     tx = create_optimizer(opt="adam", lr=1e-3, weight_decay=0.0, params=params)
     opt_state = tx.init(params)
+
+    if resume_from is not None:
+        from transmil_deepgraft_tpu.utils.checkpoints import load_pytree
+
+        state = load_pytree(resume_from, {"params": params, "opt_state": opt_state})
+        params, opt_state = state["params"], state["opt_state"]
 
     def step_fn(params, opt_state, bags, labels):
         def loss_of(p):
@@ -118,7 +139,7 @@ def run_training(mesh, out_dir: str | None = None, steps: int = 6, batch: int = 
         opt_state = jax.device_put(opt_state, repl)
 
     losses = []
-    for s in range(steps):
+    for s in range(start_step, start_step + steps):
         lo = (s * batch) % 16
         bags, labels = x[lo : lo + batch], y[lo : lo + batch]
         params, opt_state, loss = train_jit(params, opt_state, put_batch(bags), put_batch(labels))
@@ -127,11 +148,18 @@ def run_training(mesh, out_dir: str | None = None, steps: int = 6, batch: int = 
     eval_logits = np.asarray(jax.device_get(eval_jit(params, put_batch(x[16:24]))))
     host_params = jax.device_get(params)
 
-    if out_dir is not None and jax.process_index() == 0:
-        # checkpoint-from-process-0 (every process holds replicated params)
+    if jax.process_index() == 0:
         from transmil_deepgraft_tpu.utils.checkpoints import save_pytree
 
-        save_pytree(Path(out_dir) / "mp_params.msgpack", host_params)
+        if out_dir is not None:
+            # checkpoint-from-process-0 (every process holds replicated params)
+            save_pytree(Path(out_dir) / "mp_params.msgpack", host_params)
+        if save_state_path is not None:
+            # FULL state for cross-world-size resume: params + opt_state
+            save_pytree(
+                save_state_path,
+                {"params": host_params, "opt_state": jax.device_get(opt_state)},
+            )
     return losses, eval_logits, host_params
 
 
@@ -140,6 +168,9 @@ def main() -> None:
     nproc = int(sys.argv[2])
     port = sys.argv[3]
     out_dir = sys.argv[4]
+    batch = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    steps = int(sys.argv[6]) if len(sys.argv) > 6 else 6
+    save_state = sys.argv[7] if len(sys.argv) > 7 and sys.argv[7] != "-" else None
     _bootstrap_cpu(n_local_devices=2)
     sys.path.insert(0, str(REPO))
 
@@ -157,7 +188,9 @@ def main() -> None:
     assert len(jax.devices()) == 2 * nproc, jax.devices()
 
     mesh = make_mesh(jax.devices(), dp=2 * nproc, sp=1)
-    losses, eval_logits, _ = run_training(mesh, out_dir=out_dir)
+    losses, eval_logits, _ = run_training(
+        mesh, out_dir=out_dir, batch=batch, steps=steps, save_state_path=save_state
+    )
 
     report = {
         "process_id": pid,
