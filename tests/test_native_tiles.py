@@ -138,3 +138,55 @@ def test_corrupt_jpegs_fail_soft(tmp_path, rng):
     u8, n_ok_u8 = nt.load_tiles_u8(paths, size=32)
     assert n_ok_u8 == 2
     assert (u8[1] == 0).all() and (u8[4] == 0).all()
+
+
+def test_scaled_dct_identical_below_2x(tmp_path, rng):
+    """scaled_dct must be a NO-OP (bit-identical) when sources are under 2x
+    the target — including the exact-size common case — because the chosen
+    libjpeg scale_denom stays 1."""
+    for src in (64, 96):  # 96 < 2*64: still full decode
+        d = tmp_path / f"s{src}"
+        d.mkdir()
+        paths = _write_jpegs(d, rng, 4, src)
+        full, ok1 = nt.load_tiles_u8(paths, size=64)
+        scal, ok2 = nt.load_tiles_u8(paths, size=64, scaled_dct=True)
+        assert ok1 == ok2 == 4
+        np.testing.assert_array_equal(full, scal)
+        f_full, _ = nt.load_tiles(paths, size=64)
+        f_scal, _ = nt.load_tiles(paths, size=64, scaled_dct=True)
+        np.testing.assert_array_equal(f_full, f_scal)
+
+
+def test_scaled_dct_oversized_close_and_correct_shape(tmp_path):
+    """Oversized sources decode at 1/2-1/8 DCT scale then bilinear-finish:
+    output shape unchanged, pixels close to the full-decode path on smooth
+    (tissue-like) content. Uses low-frequency images — uniform noise is
+    adversarial for ANY resampling comparison and unrepresentative of H&E."""
+    from scipy.ndimage import gaussian_filter, zoom
+
+    g = np.random.default_rng(7)
+    paths = []
+    for i in range(4):
+        x = g.standard_normal((32, 32, 3))
+        img = zoom(x, (8, 8, 1), order=1)  # 256x256
+        img = gaussian_filter(img, (3, 3, 0))
+        img = (img - img.min()) / (np.ptp(img) + 1e-9) * 255
+        p = tmp_path / f"big_{i}.jpg"
+        Image.fromarray(img.astype(np.uint8)).save(p, quality=90)
+        paths.append(p)
+    full, _ = nt.load_tiles_u8(paths, size=64)  # 256 -> 64: denom 4 applies
+    scal, ok = nt.load_tiles_u8(paths, size=64, scaled_dct=True)
+    assert ok == 4 and scal.shape == (4, 64, 64, 3)
+    d = np.abs(full.astype(np.float32) - scal.astype(np.float32))
+    assert d.mean() < 2.0, d.mean()  # u8 levels; measured ~0.7-0.9
+
+
+def test_decode_tile_paths_scaled_default(tmp_path, rng):
+    """The inference decode path defaults scaled_dct on; exact-size tiles stay
+    bit-identical to the explicit full decode."""
+    from transmil_deepgraft_tpu.inference import decode_tile_paths
+
+    paths = _write_jpegs(tmp_path, rng, 5, 64)
+    out = decode_tile_paths(paths, 64)
+    full, _ = nt.load_tiles_u8(paths, size=64)
+    np.testing.assert_array_equal(out, full)

@@ -45,11 +45,12 @@ def _load_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
         ]
         lib.tl_load_batch_u8.restype = ctypes.c_int
         lib.tl_load_batch_u8.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
         ]
         _selftest(lib)
         _lib = lib
@@ -72,7 +73,7 @@ def _selftest(lib: ctypes.CDLL) -> None:
         out = np.empty((1, 8, 8, 3), np.uint8)
         arr = (ctypes.c_char_p * 1)(str(p).encode())
         rc = lib.tl_load_batch_u8(
-            arr, 1, 8, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), 1
+            arr, 1, 8, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), 1, 0
         )
         if rc != 1 or abs(float(out.mean()) - 128.0) > 8.0:
             raise RuntimeError("native tileloader self-test failed")
@@ -88,11 +89,19 @@ def load_tiles(
     n_threads: int | None = None,
     mean: np.ndarray = IMAGENET_MEAN,
     std: np.ndarray = IMAGENET_STD,
+    scaled_dct: bool = False,
 ) -> tuple[np.ndarray, int]:
     """Decode ``paths`` -> normalized (N, size, size, 3) float32.
 
     Returns ``(batch, n_ok)``; failed decodes leave zero tiles (callers may
     compare ``n_ok`` to ``len(paths)``).
+
+    ``scaled_dct=True`` decodes sources >= 2x ``size`` at a reduced libjpeg
+    DCT scale (1/2, 1/4, 1/8 — largest still covering ``size``), then bilinear
+    resizes the < 2x remainder: near-quadratic decode-cost savings on
+    oversized WSI tiles. Sources under 2x decode bit-identically to the
+    default path. Pixel deviation on oversized sources is measured in
+    BENCHMARKS.md ("Host decode ceiling").
     """
     lib = _load_lib()
     if lib is None:
@@ -112,6 +121,7 @@ def load_tiles(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads,
         mean32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         std32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(scaled_dct),
     )
     return out, int(n_ok)
 
@@ -120,11 +130,13 @@ def load_tiles_u8(
     paths: Sequence[str | Path],
     size: int = 224,
     n_threads: int | None = None,
+    scaled_dct: bool = False,
 ) -> tuple[np.ndarray, int]:
     """Decode ``paths`` -> RAW (N, size, size, 3) uint8 (no normalization).
 
     The device-side-normalize serving path: uint8 ships 4x less host->device
-    data than normalized float32 tiles (77 MB -> 19 MB per 128-tile chunk)."""
+    data than normalized float32 tiles (77 MB -> 19 MB per 128-tile chunk).
+    ``scaled_dct``: see :func:`load_tiles`."""
     lib = _load_lib()
     if lib is None:
         raise RuntimeError("native tile loader unavailable (libjpeg / build failed)")
@@ -135,6 +147,7 @@ def load_tiles_u8(
     c_paths = (ctypes.c_char_p * n)(*[os.fspath(p).encode() for p in paths])
     threads = n_threads or min(16, os.cpu_count() or 4)
     n_ok = lib.tl_load_batch_u8(
-        c_paths, n, size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), threads
+        c_paths, n, size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        threads, int(scaled_dct),
     )
     return out, int(n_ok)

@@ -21,17 +21,24 @@ import numpy as np
 from transmil_deepgraft_tpu.data.native_tiles import IMAGENET_MEAN, IMAGENET_STD
 
 
-def decode_tile_paths(paths, size: int = 224) -> np.ndarray:
+def decode_tile_paths(paths, size: int = 224, scaled_dct: bool = True) -> np.ndarray:
     """Decode a chunk of tile image paths -> raw (n, size, size, 3) uint8.
 
     JPEG chunks go through the native threaded loader when available
     (``data/native_tiles``); anything else (PNGs, decode failures, no
     libjpeg) falls back to per-tile PIL. Both paths return RAW uint8 —
-    ImageNet normalization happens on device (4x less host->device data)."""
+    ImageNet normalization happens on device (4x less host->device data).
+
+    ``scaled_dct`` (default on for this inference path) decodes sources
+    >= 2x ``size`` at a reduced libjpeg DCT scale — up to ~2x decode
+    throughput on oversized WSI tiles at a measured mean pixel deviation
+    < 1 u8 level (BENCHMARKS.md "Host decode ceiling"); sources under 2x
+    (incl. the exact-size common case) are bit-identical. Offline feature
+    EXTRACTION keeps full decode by default (``data/feature_extractor``)."""
     from transmil_deepgraft_tpu.data import native_tiles as nt
 
     if nt.available() and all(str(p).lower().endswith((".jpg", ".jpeg")) for p in paths):
-        batch, n_ok = nt.load_tiles_u8(paths, size)
+        batch, n_ok = nt.load_tiles_u8(paths, size, scaled_dct=scaled_dct)
         if n_ok == len(paths):
             return batch
     from transmil_deepgraft_tpu.data.jpg_bags import _load_tile
