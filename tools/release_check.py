@@ -119,6 +119,50 @@ def coverage_citations() -> None:
     assert coverage_check.main() == 0, "COVERAGE.md cites missing paths"
 
 
+def doc_sync() -> None:
+    """README's test count must match pytest collection (the hand-counted
+    number went stale two rounds running — VERDICT r4 item 8), and the
+    BENCHMARKS headline row must quote the latest driver-captured BENCH_r*."""
+    import json
+    import re
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    m = re.search(r"(\d+) tests collected", out.stdout)
+    assert m, f"could not count tests:\n{out.stdout[-800:]}"
+    collected = int(m.group(1))
+    readme = (REPO / "README.md").read_text()
+    claim = re.search(r"(\d+)-test suite", readme)
+    assert claim, "README no longer states the test count"
+    assert int(claim.group(1)) == collected, (
+        f"README claims a {claim.group(1)}-test suite; pytest collects "
+        f"{collected} — regenerate the README number"
+    )
+
+    benches = sorted(REPO.glob("BENCH_r*.json"))
+    if benches:
+        latest = benches[-1]
+        # driver format: {"n", "cmd", "rc", "tail"} with bench.py's JSON line
+        # embedded in tail; fall back to a bare bench.py line
+        doc = json.loads(latest.read_text())
+        if "tail" in doc:
+            line = next(
+                ln for ln in reversed(doc["tail"].splitlines())
+                if ln.startswith("{") and "metric" in ln
+            )
+            row = json.loads(line)
+        else:
+            row = doc
+        val = f"{row['value']}"
+        bm = (REPO / "BENCHMARKS.md").read_text()
+        assert re.search(rf"r\d+[^|\n]*{re.escape(val)}", bm), (
+            f"BENCHMARKS.md headline section does not quote {latest.name}'s "
+            f"median ({val}) — sync the per-round captures line"
+        )
+
+
 def main() -> int:
     check("CLI --help surface", clis)
     check("config pack parses", config_pack)
@@ -128,6 +172,7 @@ def main() -> int:
     check("driver entry points", driver_entry)
     check("wheel ships configs+native", wheel_contents)
     check("COVERAGE.md citations exist", coverage_citations)
+    check("docs in sync (test count, bench capture)", doc_sync)
     if FAILS:
         print(f"\n{len(FAILS)} check(s) failed: {FAILS}")
         return 1
