@@ -46,13 +46,18 @@ def main() -> None:
                         "(int8 embed exports; slower to build)")
     p.add_argument("--slide_tiles", type=int, default=1024)
     p.add_argument("--out", default=None, help="write the JSON rows here too")
-    p.add_argument("--clients", type=int, nargs="*", default=[1, 4, 8],
+    p.add_argument("--clients", type=int, nargs="*", default=[1, 4, 8, 16],
                    help="concurrent-client counts for the sustained-QPS mode")
     p.add_argument("--duration", type=float, default=5.0,
                    help="seconds per concurrent-load measurement")
     p.add_argument("--batch", type=int, default=4,
                    help="exported batch for the concurrent-load bundle "
                         "(micro-batching headroom)")
+    p.add_argument("--overload_clients", type=int, default=16,
+                   help="client count for the overload/shed measurement")
+    p.add_argument("--overload_queue", type=int, default=2,
+                   help="max_queue for the overload measurement (small, so "
+                        "the bound trips and 503 shedding is exercised)")
     args = p.parse_args()
     buckets = tuple(int(b) for b in args.buckets.split(","))
 
@@ -156,10 +161,65 @@ def main() -> None:
             "path": "http.predict.concurrent", "bucket": b, "clients": clients,
             "qps": round(len(lat) / wall, 1),
             "p50_ms": round(lat[len(lat) // 2] * 1e3, 2),
+            "p95_ms": round(lat[int(len(lat) * 0.95)] * 1e3, 2),
             "p99_ms": round(lat[int(len(lat) * 0.99)] * 1e3, 2),
             "requests": len(lat),
         })
         print(json.dumps(rows[-1]), flush=True)
+    srv.shutdown()
+    srv.server_close()
+
+    # --- overload mode: clients >> queue bound; the server must SHED (503 +
+    # Retry-After), keep admitted-request latency bounded, and recover -------
+    # (VERDICT r4 item 5: the friendly regime above never exercises the bound.)
+    srv = make_server(ServingBundle.load(bpath), "127.0.0.1", 0,
+                      max_queue=args.overload_queue)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    http_req(npy_body, "application/octet-stream")  # warm
+    ok_lat: list[float] = []
+    shed = [0]
+    lat_lock = threading.Lock()
+    stop_at = time.perf_counter() + args.duration
+
+    def overload_loop():
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        while time.perf_counter() < stop_at:
+            t0 = time.perf_counter()
+            conn.request("POST", "/predict", body=npy_body,
+                         headers={"Content-Type": "application/octet-stream"})
+            r = conn.getresponse()
+            body = r.read()
+            dt = time.perf_counter() - t0
+            with lat_lock:
+                if r.status == 200:
+                    ok_lat.append(dt)
+                else:
+                    assert r.status == 503, (r.status, body[:200])
+                    shed[0] += 1
+        conn.close()
+
+    clients = args.overload_clients
+    threads = [threading.Thread(target=overload_loop) for _ in range(clients)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    ok_lat.sort()
+    rows.append({
+        "path": "http.predict.overload", "bucket": b, "clients": clients,
+        "max_queue": args.overload_queue,
+        "qps_ok": round(len(ok_lat) / wall, 1),
+        "shed": shed[0],
+        "shed_rate": round(shed[0] / max(1, shed[0] + len(ok_lat)), 3),
+        "ok_p50_ms": round(ok_lat[len(ok_lat) // 2] * 1e3, 2) if ok_lat else None,
+        "ok_p99_ms": round(ok_lat[int(len(ok_lat) * 0.99)] * 1e3, 2) if ok_lat else None,
+    })
+    print(json.dumps(rows[-1]), flush=True)
+    # recovery: after the burst, a plain request succeeds again
+    http_req(npy_body, "application/octet-stream")
     srv.shutdown()
     srv.server_close()
 
