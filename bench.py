@@ -22,6 +22,7 @@ value is fetched to host, and a trivial-fetch RTT is subtracted.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -31,6 +32,11 @@ import numpy as np
 BAG = 40960
 CHUNK = 128
 HEAD_ITERS = 8
+# secondary metric: measured tiles-ON-DISK -> slide probability (the honest
+# path in front of the headline: host JPEG decode + H2D + streamed pipeline).
+# Fixture size is bounded so a flaky relay can't sink the headline; the 40k
+# figure is scaled from the measured per-tile rate and labeled as such.
+DISK_TILES = int(os.environ.get("TDT_BENCH_DISK_TILES", "4096"))
 
 
 def _chained_time(fn, *args, iters, reps=4):
@@ -97,10 +103,78 @@ def measure() -> dict:
 
     head_reps = _chained_time(head_fwd, params, bags, iters=HEAD_ITERS)
 
+    # --- secondary: measured disk->probs (VERDICT r4 item 6) ---------------
+    disk = {}
+    if DISK_TILES:
+        try:
+            disk = _measure_disk_to_probs(DISK_TILES)
+        except Exception as e:  # noqa: BLE001 — secondary must not sink headline
+            disk = {"disk_error": f"{type(e).__name__}: {e}"[:200]}
+
     # Per-rep slides/s: pair rep i of each stage (both sorted fastest-first), so
     # min/median/max of the combined list bracket the run-to-run spread.
     rates = sorted(1.0 / (e + h) for e, h in zip(embed_reps, head_reps))
-    return {"embed_reps": embed_reps, "head_reps": head_reps, "rates": rates}
+    return {"embed_reps": embed_reps, "head_reps": head_reps, "rates": rates, "disk": disk}
+
+
+def _measure_disk_to_probs(n_tiles: int) -> dict:
+    """JPEG tiles on disk -> slide probability, streamed (decode overlapped
+    with device embed), measured once at ``n_tiles`` and scaled to the 40k
+    headline slide. Mirrors ``tools/bench_disk_inference.py`` step 3 (the full
+    decomposition lives there); this is the per-round tracked subset.
+    Reference path: ``visualize_mil.py:560-583`` chunked streaming inference.
+    """
+    import tempfile
+    from pathlib import Path
+
+    from PIL import Image
+
+    from transmil_deepgraft_tpu.data import native_tiles as nt
+    from transmil_deepgraft_tpu.inference import SlideInferencePipeline
+    from transmil_deepgraft_tpu.models import create_model
+    from transmil_deepgraft_tpu.models.resnet import Bottleneck, ResNet
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as tmp:
+        tile_dir = Path(tmp) / "slide"
+        tile_dir.mkdir(parents=True)
+        uniq = []
+        for i in range(min(512, n_tiles)):
+            arr = rng.integers(0, 255, (224, 224, 3)).astype(np.uint8)
+            p = tile_dir / f"tile_({i}-0).jpg"
+            Image.fromarray(arr).save(p, quality=80)
+            uniq.append(p)
+        paths = [uniq[i % len(uniq)] for i in range(n_tiles)]
+
+        backbone = ResNet(Bottleneck, (3, 4, 6, 3), num_classes=0)
+        variables = jax.device_get(
+            backbone.init({"params": jax.random.key(0)}, jnp.zeros((1, 224, 224, 3)))
+        )
+        from transmil_deepgraft_tpu.inference import decode_tile_paths
+
+        calib = (
+            decode_tile_paths(paths[:64]).astype(np.float32) / 255.0
+            - np.asarray(nt.IMAGENET_MEAN)
+        ) / np.asarray(nt.IMAGENET_STD)
+        head = create_model("TransMIL", n_classes=2, in_features=2048)
+        hv = head.init({"params": jax.random.key(1)}, jnp.zeros((1, 256, 2048)))
+        pipe = SlideInferencePipeline(variables, head, hv, calib_tiles=calib, chunk=CHUNK)
+
+        # warm both compiled programs (embed chunk + full-bag head)
+        pipe.predict_slide_paths(paths[: 2 * CHUNK])
+        np.asarray(pipe._head_fwd(pipe.hv, jnp.zeros((1, n_tiles, 2048))))
+
+        t0 = time.perf_counter()
+        probs = pipe.predict_slide_paths(paths)
+        streamed = time.perf_counter() - t0
+        assert probs.shape[0] == 2 and np.isfinite(np.asarray(probs)).all()
+    return {
+        "disk_to_probs_s": round(streamed, 3),
+        "disk_tiles": n_tiles,
+        "disk_tiles_per_sec": round(n_tiles / streamed, 1),
+        # scaled, NOT measured, when n_tiles != 40960 (field name says so)
+        "disk_to_probs_40k_scaled_s": round(streamed * (BAG / n_tiles), 1),
+    }
 
 
 def main() -> None:
